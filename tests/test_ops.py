@@ -1,0 +1,145 @@
+"""Image/transform ops vs NumPy oracles."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import jax
+import pytest
+
+from witw_tpu.ops import (
+    normalize_images,
+    denormalize_images,
+    fov_crop,
+    polar_transform,
+    horizontal_shift,
+    quantized_rotation,
+    rotate_nearest,
+    synced_rotation,
+    repeat_rows,
+)
+
+
+def np_polar_oracle(overhead_chw, h_s, w_s):
+    """Per-sample oracle for the polar transform with the reference's grid and
+    independent corner clipping (model/cvig_fov.py:156-209)."""
+    c, s, _ = overhead_chw.shape
+    xx, yy = np.meshgrid(range(w_s), range(h_s))
+    yy_o = (s / 2) + (s / 2) * (h_s - 1 - yy) / h_s * np.cos(2 * math.pi * xx / w_s)
+    xx_o = (s / 2) - (s / 2) * (h_s - 1 - yy) / h_s * np.sin(2 * math.pi * xx / w_s)
+    x, y = xx_o, yy_o
+    x0 = np.floor(x).astype(int)
+    x1 = x0 + 1
+    y0 = np.floor(y).astype(int)
+    y1 = y0 + 1
+    x0c = np.clip(x0, 0, s - 1)
+    x1c = np.clip(x1, 0, s - 1)
+    y0c = np.clip(y0, 0, s - 1)
+    y1c = np.clip(y1, 0, s - 1)
+    Ia = overhead_chw[:, y0c, x0c]
+    Ib = overhead_chw[:, y1c, x0c]
+    Ic = overhead_chw[:, y0c, x1c]
+    Id = overhead_chw[:, y1c, x1c]
+    wa = (x1 - x) * (y1 - y)
+    wb = (x1 - x) * (y - y0)
+    wc = (x - x0) * (y1 - y)
+    wd = (x - x0) * (y - y0)
+    return wa * Ia + wb * Ib + wc * Ic + wd * Id
+
+
+def test_polar_transform_matches_oracle(rng):
+    s_o, h_s, w_s = 16, 8, 32
+    tile = rng.uniform(0, 255, size=(3, s_o, s_o)).astype(np.float32)  # CHW
+    want = np_polar_oracle(tile, h_s, w_s)  # [C, h_s, w_s]
+    tile_nhwc = np.transpose(tile, (1, 2, 0))[None]
+    got = np.asarray(polar_transform(jnp.asarray(tile_nhwc), h_s, w_s))[0]
+    np.testing.assert_allclose(np.transpose(got, (2, 0, 1)), want, rtol=1e-4, atol=1e-3)
+
+
+def test_fov_crop_wraparound(rng):
+    x = rng.standard_normal((2, 3, 10, 1)).astype(np.float32)
+    starts = np.array([7, 2])
+    out = np.asarray(fov_crop(jnp.asarray(x), jnp.asarray(starts), 5))
+    for b, st in enumerate(starts):
+        cols = [(st + k) % 10 for k in range(5)]
+        np.testing.assert_array_equal(out[b], x[b][:, cols, :])
+
+
+def test_normalize_roundtrip(rng):
+    x = rng.uniform(0, 255, size=(2, 4, 4, 3)).astype(np.float32)
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+    norm = normalize_images(jnp.asarray(x), mean, std)
+    want = (x / 255.0 - np.array(mean)) / np.array(std)
+    np.testing.assert_allclose(np.asarray(norm), want, rtol=1e-5)
+    back = denormalize_images(norm, mean, std)
+    np.testing.assert_allclose(np.asarray(back), x / 255.0, rtol=1e-4, atol=1e-5)
+
+
+def test_normalize_semantic_rgb_only_scaling(rng):
+    """Semantic quirk: only first 3 channels divided by 255
+    (reference cvig_semantic.py:173-176)."""
+    x = rng.uniform(0, 255, size=(1, 2, 2, 5)).astype(np.float32)
+    mean = (0.485, 0.456, 0.406, 0.45, 0.45)
+    std = (0.229, 0.224, 0.225, 0.22, 0.22)
+    got = np.asarray(normalize_images(jnp.asarray(x), mean, std, scale_channels=3))
+    scaled = x.copy()
+    scaled[..., :3] /= 255.0
+    want = (scaled - np.array(mean)) / np.array(std)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_horizontal_shift_oracle(rng):
+    x = rng.standard_normal((1, 2, 360, 1)).astype(np.float32)
+    deg = 90.0
+    got = np.asarray(horizontal_shift(jnp.asarray(x[0]), jnp.asarray(deg)))
+    want = np.roll(x[0], -90, axis=1)
+    np.testing.assert_array_equal(got, want)
+    # Batched variant agrees with per-sample.
+    got_b = np.asarray(horizontal_shift(jnp.asarray(x), jnp.asarray([deg])))
+    np.testing.assert_array_equal(got_b[0], want)
+
+
+def test_quantized_rotation_roundtrip(rng):
+    x = rng.standard_normal((6, 6, 2)).astype(np.float32)
+    out = x
+    for _ in range(4):
+        out = np.asarray(quantized_rotation(jnp.asarray(out), 1))
+    np.testing.assert_array_equal(out, x)
+    # factor 2 == two factor-1 rotations
+    once = quantized_rotation(jnp.asarray(x), 1)
+    twice = np.asarray(quantized_rotation(once, 1))
+    np.testing.assert_array_equal(np.asarray(quantized_rotation(jnp.asarray(x), 2)), twice)
+
+
+def test_rotate_nearest_quarter_turns_match_quantized(rng):
+    """Arbitrary-angle rotation at 90-degree multiples must reproduce the
+    exact transpose/flip rotations (even-size grid maps onto itself)."""
+    x = rng.standard_normal((8, 8, 3)).astype(np.float32)
+    for factor in range(4):
+        got = np.asarray(rotate_nearest(jnp.asarray(x), factor * 90.0))
+        want = np.asarray(quantized_rotation(jnp.asarray(x), factor))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_synced_rotation_consistency(rng):
+    """A distinctive column of the panorama and the corresponding overhead ray
+    must rotate together (reference SyncedRotation contract,
+    cvig_baseline.py:130-144)."""
+    key = jax.random.PRNGKey(0)
+    surface = jnp.asarray(rng.standard_normal((2, 4, 360, 1)).astype(np.float32))
+    overhead = jnp.asarray(rng.standard_normal((2, 16, 16, 1)).astype(np.float32))
+    s2, o2 = synced_rotation(key, surface, overhead, panorama=True)
+    assert s2.shape == surface.shape
+    assert o2.shape == overhead.shape
+    # Non-panorama surface is untouched.
+    s3, _ = synced_rotation(key, surface, overhead, panorama=False)
+    np.testing.assert_array_equal(np.asarray(s3), np.asarray(surface))
+
+
+def test_repeat_rows(rng):
+    x = rng.standard_normal((2, 3, 4, 1)).astype(np.float32)
+    out = np.asarray(repeat_rows(jnp.asarray(x), 2))
+    assert out.shape == (2, 6, 4, 1)
+    np.testing.assert_array_equal(out[:, 0], x[:, 0])
+    np.testing.assert_array_equal(out[:, 1], x[:, 0])

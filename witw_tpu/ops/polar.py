@@ -1,0 +1,115 @@
+"""On-device polar transform (Shi et al., "Where Am I Looking At?", CVPR 2020).
+
+The reference computes this per sample on CPU inside DataLoader workers with a
+NumPy gather + 4-corner bilinear blend (reference model/cvig_fov.py:156-209) —
+its main input-pipeline bottleneck (SURVEY.md §2.1). Here the sampling grid is
+precomputed once per static geometry and the transform is a batched gather +
+weighted sum that XLA fuses into the forward pass; raw 256x256 tiles are
+shipped to the device instead of 128x512 polar maps, so host->device traffic
+also shrinks.
+
+Grid (reference cvig_fov.py:198-201): output pixel (x, y) of the h_s x w_s
+pseudo-panorama samples the s_o x s_o overhead tile at
+
+    row = s_o/2 + s_o/2 * (h_s-1-y)/h_s * cos(2*pi*x/w_s)
+    col = s_o/2 - s_o/2 * (h_s-1-y)/h_s * sin(2*pi*x/w_s)
+
+with bilinear interpolation whose four corner indices are clipped to the valid
+range independently (reference cvig_fov.py:163-171).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PolarGrid(NamedTuple):
+    """Precomputed flat gather indices and bilinear weights.
+
+    idx: int32 [4, h_s*w_s] flat indices into a flattened (s_o*s_o) tile.
+    weight: float32 [4, h_s*w_s] matching bilinear corner weights.
+    """
+
+    idx: np.ndarray
+    weight: np.ndarray
+    out_hw: Tuple[int, int]
+
+
+@functools.lru_cache(maxsize=8)
+def polar_grid(
+    surface_height: int = 128,
+    surface_width: int = 512,
+    overhead_size: int = 256,
+) -> PolarGrid:
+    h_s, w_s, s_o = surface_height, surface_width, overhead_size
+    xx, yy = np.meshgrid(np.arange(w_s), np.arange(h_s))
+    radius = (s_o / 2.0) * (h_s - 1 - yy) / h_s
+    row = (s_o / 2.0) + radius * np.cos(2.0 * math.pi * xx / w_s)
+    col = (s_o / 2.0) - radius * np.sin(2.0 * math.pi * xx / w_s)
+
+    r0 = np.floor(row).astype(np.int64)
+    r1 = r0 + 1
+    c0 = np.floor(col).astype(np.int64)
+    c1 = c0 + 1
+    # Corner weights use the *unclipped* indices; corners are clipped
+    # independently afterwards (matches reference cvig_fov.py:163-183).
+    w_r0 = r1 - row
+    w_r1 = row - r0
+    w_c0 = c1 - col
+    w_c1 = col - c0
+    r0c = np.clip(r0, 0, s_o - 1)
+    r1c = np.clip(r1, 0, s_o - 1)
+    c0c = np.clip(c0, 0, s_o - 1)
+    c1c = np.clip(c1, 0, s_o - 1)
+
+    idx = np.stack(
+        [
+            (r0c * s_o + c0c).reshape(-1),
+            (r1c * s_o + c0c).reshape(-1),
+            (r0c * s_o + c1c).reshape(-1),
+            (r1c * s_o + c1c).reshape(-1),
+        ]
+    ).astype(np.int32)
+    weight = np.stack(
+        [
+            (w_c0 * w_r0).reshape(-1),
+            (w_c0 * w_r1).reshape(-1),
+            (w_c1 * w_r0).reshape(-1),
+            (w_c1 * w_r1).reshape(-1),
+        ]
+    ).astype(np.float32)
+    return PolarGrid(idx=idx, weight=weight, out_hw=(h_s, w_s))
+
+
+def polar_transform(
+    overhead: jax.Array,
+    surface_height: int = 128,
+    surface_width: int = 512,
+) -> jax.Array:
+    """Polar-map a batch of square overhead tiles to pseudo-panoramas.
+
+    overhead: [B, S, S, C] (NHWC) or [S, S, C]. Returns [B, h_s, w_s, C].
+    """
+    squeeze = overhead.ndim == 3
+    if squeeze:
+        overhead = overhead[None]
+    b, s, s2, c = overhead.shape
+    assert s == s2, f"overhead tile must be square, got {overhead.shape}"
+    grid = polar_grid(surface_height, surface_width, s)
+    idx = jnp.asarray(grid.idx)
+    weight = jnp.asarray(grid.weight)
+
+    flat = overhead.reshape(b, s * s, c).astype(jnp.float32)
+    # Gather the four corners for every output pixel: [B, 4, h*w, C].
+    corners = flat[:, idx, :]
+    out = jnp.einsum("bkpc,kp->bpc", corners, weight)
+    out = out.reshape(b, *grid.out_hw, c)
+    if squeeze:
+        out = out[0]
+    return out

@@ -1,0 +1,112 @@
+"""Synced rotation augmentation (baseline model).
+
+The reference rotates the overhead tile by a random angle and, when the
+surface photo is a panorama, rolls it horizontally by the matching number of
+degrees so the relative orientation stays consistent (reference
+model/cvig_baseline.py:97-160). Reference rotation runs per-sample on CPU via
+torchvision; here it is a batched on-device nearest-neighbor affine gather
+(static shapes, vmap over per-sample angles).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def horizontal_shift(img: jax.Array, degrees: jax.Array) -> jax.Array:
+    """Shift a panorama as if the viewer turned clockwise by `degrees`
+    (reference cvig_baseline.py:97-112: roll by -round(deg * W / 360)).
+
+    img: [..., H, W, C] NHWC/HWC; degrees: scalar or [B].
+    """
+    w = img.shape[-2]
+    shift = -jnp.round(degrees * w / 360.0).astype(jnp.int32)
+    if jnp.ndim(shift) == 0:
+        return jnp.roll(img, shift, axis=-2)
+    cols = (jnp.arange(w)[None, :] - shift[:, None]) % w  # [B, W]
+    return jnp.take_along_axis(img, cols[:, None, :, None], axis=2)
+
+
+def quantized_rotation(img: jax.Array, factor: int) -> jax.Array:
+    """Rotate by factor * 90 degrees using transpose/flips (exactly the
+    reference's compositions, cvig_baseline.py:115-127). HWC or NHWC."""
+    h_ax = img.ndim - 3
+    w_ax = img.ndim - 2
+    f = factor % 4
+    if f == 0:
+        return img
+    if f == 1:
+        return jnp.flip(jnp.swapaxes(img, h_ax, w_ax), axis=w_ax)
+    if f == 2:
+        return jnp.flip(jnp.flip(img, axis=h_ax), axis=w_ax)
+    return jnp.flip(jnp.swapaxes(img, h_ax, w_ax), axis=h_ax)
+
+
+def rotate_nearest(img: jax.Array, degrees: jax.Array) -> jax.Array:
+    """Rotate image content counter-clockwise about the image center with
+    nearest-neighbor sampling and zero fill (torchvision `rotate` defaults
+    used by the reference, cvig_baseline.py:142-143).
+
+    img: [H, W, C] or [B, H, W, C]; degrees: scalar or [B].
+    """
+    if img.ndim == 3:
+        return _rotate_one(img, jnp.asarray(degrees, jnp.float32))
+    return jax.vmap(_rotate_one)(img, jnp.broadcast_to(
+        jnp.asarray(degrees, jnp.float32), (img.shape[0],)))
+
+
+def _rotate_one(img: jax.Array, degrees: jax.Array) -> jax.Array:
+    h, w, c = img.shape
+    theta = degrees * (math.pi / 180.0)
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    cy = (h - 1) / 2.0
+    cx = (w - 1) / 2.0
+    ii, jj = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dy = ii - cy
+    dx = jj - cx
+    # Output pixel samples the input at the inverse rotation.
+    src_x = cos_t * dx + sin_t * dy + cx
+    src_y = -sin_t * dx + cos_t * dy + cy
+    xi = jnp.round(src_x).astype(jnp.int32)
+    yi = jnp.round(src_y).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    xi = jnp.clip(xi, 0, w - 1)
+    yi = jnp.clip(yi, 0, h - 1)
+    out = img[yi, xi]
+    return jnp.where(valid[..., None], out, 0).astype(img.dtype)
+
+
+def synced_rotation(
+    rng: jax.Array,
+    surface: jax.Array,
+    overhead: jax.Array,
+    panorama: bool,
+    quantized: bool = False,
+):
+    """Batched synced rotation: random angle per sample; overhead rotated,
+    panorama surface rolled to match (reference cvig_baseline.py:130-160).
+
+    surface: [B, H, W, C]; overhead: [B, S, S, C]. Returns (surface, overhead).
+    """
+    b = surface.shape[0]
+    if quantized:
+        factors = jax.random.randint(rng, (b,), 0, 4)
+        degrees = factors.astype(jnp.float32) * 90.0
+        overhead = jax.vmap(
+            lambda im, f: jax.lax.switch(
+                f, [lambda x: quantized_rotation(x, k) for k in range(4)], im
+            )
+        )(overhead, factors)
+    else:
+        degrees = jax.random.uniform(rng, (b,)) * 360.0
+        overhead = rotate_nearest(overhead, degrees)
+    if panorama:
+        surface = horizontal_shift(surface, degrees)
+    return surface, overhead
