@@ -7,12 +7,18 @@ cluster"). Env vars must be set before JAX is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin's sitecustomize can override JAX_PLATFORMS; force the
+# CPU backend explicitly (config wins over the plugin).
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
