@@ -1,0 +1,131 @@
+"""Train-loop smoke tests: loss decreases, checkpoint roundtrip, resume,
+end-to-end test() metrics (the BASELINE.json CPU-runnable subset config)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from witw_tpu.configs import (
+    DataConfig,
+    DatasetConfig,
+    EvalConfig,
+    ExperimentConfig,
+    FovDsmModelConfig,
+    BaselineModelConfig,
+    MatchConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from witw_tpu.data import SyntheticPairs
+from witw_tpu.train import Checkpointer, make_pipeline
+from witw_tpu.train.loop import run_phase, test as run_test, train as run_train
+
+
+def tiny_fov_cfg(tmpdir, fov=360):
+    ds = DatasetConfig(
+        name="cvusa", train_csv="", test_csv="", panorama=True
+    )
+    return ExperimentConfig(
+        data=DataConfig(
+            dataset=ds, surface_height=32, surface_width_max=64, overhead_size=32,
+            fov=fov,
+        ),
+        model=FovDsmModelConfig(compute_dtype="float32"),
+        match=MatchConfig(),
+        train=TrainConfig(
+            batch_size=4,
+            optim=OptimConfig(learning_rate=1e-4),
+            checkpoint_dir=str(tmpdir / "ckpt"),
+            tensorboard_dir=str(tmpdir / "runs"),
+        ),
+        eval=EvalConfig(batch_size=4, query_block=4),
+    )
+
+
+def tiny_loader(n=8, batch=4, surface_hw=(32, 64), overhead_hw=(32, 32), **kw):
+    return SyntheticPairs(n, batch, surface_hw=surface_hw, overhead_hw=overhead_hw, **kw)
+
+
+def test_fov_train_loss_decreases(tmp_path):
+    cfg = tiny_fov_cfg(tmp_path)
+    pipeline = make_pipeline(cfg)
+    loader = tiny_loader(n=8, batch=4, shuffle=True, drop_last=True, seed=3)
+    rng = jax.random.PRNGKey(0)
+    state = pipeline.init(rng)
+    _, first_loss, _ = run_phase(pipeline, state, loader, rng, False, 0, verbose=False)
+    for epoch in range(5):
+        rng, sub = jax.random.split(rng)
+        state, _, _ = run_phase(pipeline, state, loader, sub, True, epoch, verbose=False)
+    _, last_loss, _ = run_phase(pipeline, state, loader, rng, False, 0, verbose=False)
+    assert np.isfinite(first_loss) and np.isfinite(last_loss)
+    assert last_loss < first_loss
+
+
+def test_fov_train_and_test_end_to_end(tmp_path):
+    cfg = tiny_fov_cfg(tmp_path)
+    pipeline = make_pipeline(cfg)
+    train_loader = tiny_loader(n=8, batch=4, shuffle=True, drop_last=True)
+    val_loader = tiny_loader(n=4, batch=4, seed=9)
+    state = run_train(cfg, pipeline, train_loader, val_loader, num_epochs=2, verbose=False)
+    assert int(state.step) == 4
+    ckpt = Checkpointer(cfg.train.checkpoint_dir)
+    assert ckpt.exists("best") and ckpt.exists("latest")
+
+    results = run_test(cfg, pipeline, tiny_loader(n=8, batch=4), verbose=False)
+    assert results["locations"] == 8
+    assert 0 <= results["top_1"] <= 100
+    assert results["avg_rank"] >= 1
+
+
+def test_train_resume(tmp_path):
+    cfg = tiny_fov_cfg(tmp_path)
+    pipeline = make_pipeline(cfg)
+    train_loader = tiny_loader(n=8, batch=4, drop_last=True)
+    val_loader = tiny_loader(n=4, batch=4)
+    state1 = run_train(cfg, pipeline, train_loader, val_loader, num_epochs=1, verbose=False)
+    # Second invocation resumes from epoch 1 and runs just epoch 2.
+    state2 = run_train(cfg, pipeline, train_loader, val_loader, num_epochs=2, verbose=False)
+    assert int(state2.step) == int(state1.step) + 2
+
+
+def test_frozen_backbone_params_not_updated(tmp_path):
+    cfg = tiny_fov_cfg(tmp_path)
+    pipeline = make_pipeline(cfg)
+    loader = tiny_loader(n=4, batch=4)
+    rng = jax.random.PRNGKey(0)
+    state = pipeline.init(rng)
+    before = np.asarray(state.params["surface"]["vgg"]["conv_0"]["kernel"])
+    before_trainable = np.asarray(state.params["surface"]["conv_27"]["kernel"])
+    for batch in loader:
+        data = {k: batch[k] for k in ("surface", "overhead")}
+        state, _ = pipeline.train_step(state, data, rng)
+    after = np.asarray(state.params["surface"]["vgg"]["conv_0"]["kernel"])
+    after_trainable = np.asarray(state.params["surface"]["conv_27"]["kernel"])
+    np.testing.assert_array_equal(before, after)  # frozen
+    assert not np.allclose(before_trainable, after_trainable)  # trained
+
+
+@pytest.mark.slow
+def test_baseline_train_smoke(tmp_path):
+    ds = DatasetConfig(
+        name="witw", train_csv="", test_csv="", panorama=False, header=0,
+        path_columns=(15, 16), path_names=("surface", "overhead"),
+    )
+    cfg = ExperimentConfig(
+        data=DataConfig(dataset=ds),
+        model=BaselineModelConfig(compute_dtype="float32"),
+        train=TrainConfig(batch_size=2, optim=OptimConfig(learning_rate=1e-3),
+                          checkpoint_dir=str(tmp_path / "ckpt")),
+    )
+    pipeline = make_pipeline(cfg)
+    loader = tiny_loader(n=4, batch=2, surface_hw=(500, 500), overhead_hw=(500, 500))
+    rng = jax.random.PRNGKey(0)
+    state = pipeline.init(rng, surface_hw=(500, 500), overhead_hw=(500, 500))
+    state, metrics = None or (state, None)
+    for batch in loader:
+        data = {k: batch[k] for k in ("surface", "overhead")}
+        state, metrics = pipeline.train_step(state, data, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2

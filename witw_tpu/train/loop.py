@@ -1,0 +1,202 @@
+"""Epoch-based train/val loop and full-gallery test, reference-compatible.
+
+Reproduces the reference driver semantics (reference model/cvig_fov.py:385-487):
+epoch loop with train + val phases, per-step loss logging, running epoch
+averages, and a best-checkpoint keyed on the validation loss. Differences
+(deliberate, SURVEY.md §5):
+- loss fetch is asynchronous (jax arrays are only synced for logging),
+- checkpoints carry optimizer state and support exact resume,
+- the val-phase loss is explicitly the checkpoint key (the reference reuses a
+  loop variable so 'best' implicitly keys on whatever phase ran last — val).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from witw_tpu.configs.base import ExperimentConfig
+from witw_tpu.evaluation.gallery import (
+    FovGalleryEvaluator,
+    euclidean_ranks,
+    metrics_from_ranks,
+)
+from witw_tpu.parallel.mesh import shard_batch
+from witw_tpu.train.checkpoint import Checkpointer
+from witw_tpu.train.metrics import MetricWriter
+from witw_tpu.train.pipeline import BaselinePipeline, FovPipeline, TrainState
+
+
+def run_phase(
+    pipeline,
+    state: TrainState,
+    loader: Iterable,
+    rng: jax.Array,
+    train: bool,
+    epoch: int,
+    writer: Optional[MetricWriter] = None,
+    log_every: int = 1,
+    mesh=None,
+    verbose: bool = True,
+) -> tuple:
+    """One pass over a loader; returns (state, avg_loss, count)."""
+    phase = "train" if train else "val"
+    running_loss = 0.0
+    running_count = 0
+    losses = []
+    for batch_i, batch in enumerate(loader):
+        count = len(batch["surface"])
+        batch = {k: v for k, v in batch.items() if k in ("surface", "overhead")}
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        rng, step_rng = jax.random.split(rng)
+        if train:
+            state, metrics = pipeline.train_step(state, batch, step_rng)
+        else:
+            metrics = pipeline.eval_step(state, batch, step_rng)
+        losses.append((metrics["loss"], count, batch_i))
+        # Drain the async loss queue with one step of lag so logging never
+        # blocks the device.
+        while len(losses) > 1:
+            loss_val, c, bi = losses.pop(0)
+            loss_f = float(loss_val)
+            running_loss += loss_f * c
+            running_count += c
+            if verbose and bi % log_every == 0:
+                print(
+                    f"epoch = {epoch + 1} {phase}, iter = {bi}, "
+                    f"count = {running_count}, loss = {loss_f:.4f}"
+                )
+            if writer is not None:
+                writer.scalar(f"{phase} loss", running_loss / running_count, bi)
+    for loss_val, c, bi in losses:
+        loss_f = float(loss_val)
+        running_loss += loss_f * c
+        running_count += c
+        if verbose:
+            print(
+                f"epoch = {epoch + 1} {phase}, iter = {bi}, "
+                f"count = {running_count}, loss = {loss_f:.4f}"
+            )
+    avg = running_loss / max(running_count, 1)
+    if verbose:
+        print(f"  {phase:>5}: avg loss = {avg:f}")
+    return state, avg, running_count
+
+
+def train(
+    cfg: ExperimentConfig,
+    pipeline,
+    train_loader,
+    val_loader,
+    num_epochs: Optional[int] = None,
+    mesh=None,
+    checkpointer: Optional[Checkpointer] = None,
+    writer: Optional[MetricWriter] = None,
+    verbose: bool = True,
+) -> TrainState:
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = pipeline.init(init_rng)
+
+    if checkpointer is None:
+        checkpointer = Checkpointer(cfg.train.checkpoint_dir, keep=cfg.train.keep_checkpoints)
+    restored = checkpointer.restore_latest(state)
+    start_epoch = 0
+    if restored is not None:
+        state = restored
+        meta = checkpointer.meta("latest") or {}
+        start_epoch = int(meta.get("epoch", 0))
+        if verbose:
+            print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
+
+    best_loss = checkpointer.best_val_loss()
+    epochs = num_epochs if num_epochs is not None else cfg.train.num_epochs
+    for epoch in range(start_epoch, epochs):
+        if verbose:
+            print(f"Epoch {epoch + 1}, {time.ctime()}")
+        rng, tr_rng, val_rng = jax.random.split(rng, 3)
+        state, _, _ = run_phase(
+            pipeline, state, train_loader, tr_rng, True, epoch,
+            writer, cfg.train.log_every_steps, mesh, verbose,
+        )
+        _, val_loss, _ = run_phase(
+            pipeline, state, val_loader, val_rng, False, epoch,
+            writer, cfg.train.log_every_steps, mesh, verbose,
+        )
+        checkpointer.save_step(state, int(state.step), {"epoch": epoch + 1})
+        if best_loss is None or val_loss < best_loss:
+            if verbose:
+                print("-------> new best")
+            best_loss = val_loss
+            checkpointer.save_best(state, val_loss, int(state.step))
+            if writer is not None:
+                writer.text(
+                    "best_loss", f"new best loss: {best_loss}, epoch: {epoch + 1}"
+                )
+    return state
+
+
+def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=False):
+    """Embed a whole dataset; returns (surface_embeds, overhead_embeds) as
+    numpy, preallocated (fixes the reference's O(N^2) torch.cat pattern,
+    cvig_fov.py:527-532)."""
+    surfaces = []
+    overheads = []
+    for batch in loader:
+        data = {k: v for k, v in batch.items() if k in ("surface", "overhead")}
+        if mesh is not None:
+            data = shard_batch(data, mesh)
+        if isinstance(pipeline, BaselinePipeline):
+            s_emb, o_emb = pipeline.embed_step(state, data, rng)
+        else:
+            s_emb, o_emb = pipeline.embed_step(state, data)
+        surfaces.append(np.asarray(s_emb))
+        overheads.append(np.asarray(o_emb))
+    return np.concatenate(surfaces), np.concatenate(overheads)
+
+
+def test(
+    cfg: ExperimentConfig,
+    pipeline,
+    test_loader,
+    state: Optional[TrainState] = None,
+    mesh=None,
+    checkpointer: Optional[Checkpointer] = None,
+    writer: Optional[MetricWriter] = None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Full-gallery retrieval eval (reference test(), cvig_fov.py:490-575)."""
+    if state is None:
+        if checkpointer is None:
+            checkpointer = Checkpointer(cfg.train.checkpoint_dir)
+        target = pipeline.init(jax.random.PRNGKey(0))
+        state = checkpointer.restore("best", target)
+
+    # The reference baseline applies the random SyncedRotation at eval time
+    # too (cvig_baseline.py:410-414); we reproduce it with a fixed seed.
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    s_emb, o_emb = embed_all(pipeline, state, test_loader, mesh, rng)
+
+    if isinstance(pipeline, FovPipeline):
+        evaluator = FovGalleryEvaluator(mesh=mesh, query_block=cfg.eval.query_block)
+        ranks = evaluator.ranks(o_emb, s_emb)
+    else:
+        ranks = euclidean_ranks(o_emb, s_emb)
+    results = metrics_from_ranks(ranks)
+
+    if verbose:
+        print("Top  1: {:.2f}%".format(results["top_1"]))
+        print("Top  5: {:.2f}%".format(results["top_5"]))
+        print("Top 10: {:.2f}%".format(results["top_10"]))
+        print("Top 1%: {:.2f}%".format(results["top_percent"]))
+        print("Avg. Rank: {:.2f}".format(results["avg_rank"]))
+        print("Med. Rank: {:.2f}".format(results["med_rank"]))
+        print("Locations: {}".format(results["locations"]))
+    if writer is not None:
+        for key, val in results.items():
+            writer.text(key, f"{key}: {val}")
+    return results
