@@ -1,0 +1,24 @@
+#!/usr/bin/env python
+"""FOV-DSM model CLI — TPU-native counterpart of reference model/cvig_fov.py.
+
+Usage (same flags as the reference, cvig_fov.py:580-601):
+    python -m witw_tpu.cli.cvig_fov --mode {train,test} --dataset {cvusa,witw} --fov {6-360}
+"""
+
+from witw_tpu.cli.common import apply_overrides, base_parser, run_test, run_train
+from witw_tpu.configs import fov_experiment
+
+
+def main(argv=None):
+    args = base_parser(with_fov=True).parse_args(argv)
+    print(args)
+    cfg = apply_overrides(fov_experiment(dataset=args.dataset, fov=args.fov), args)
+    tag = f"fov_{args.fov}_{args.dataset}"
+    if args.mode == "train":
+        run_train(cfg, tag, num_epochs=args.epochs)
+    else:
+        run_test(cfg, tag)
+
+
+if __name__ == "__main__":
+    main()
