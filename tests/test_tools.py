@@ -1,0 +1,296 @@
+"""Dataset tools: 8-bit conversion, tiling, density, filtering, modify,
+heatmap grid, semantic masks, flickr scraper logic (stubbed API)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from witw_tpu.tools import geotiff as gt
+from witw_tpu.tools.convert_8bit import (
+    band_percentiles,
+    convert_to_8bit,
+    rescale_to_u8,
+    zero_fraction,
+)
+from witw_tpu.tools.density import haversine_m, limit_density
+from witw_tpu.tools.filter_csv import filter_frame
+from witw_tpu.tools.modify import center_crop, fov_slice, modify_pair, random_zoom
+from witw_tpu.tools.tiles import annotate_frame, clip_tiles, metadata_to_frame, split_train_test
+from witw_tpu.tools.heatmap import window_grid
+from witw_tpu.tools.semantic_masks import heuristic_road_mask, precompute_masks
+from witw_tpu.tools.flickr.config import ScraperConfig
+from witw_tpu.tools.flickr.search import partition_bboxes, scrape_city, split_bbox
+from witw_tpu.tools.flickr.uploader import download_local, replay_metadata
+
+
+# ---------------------------------------------------------------- 8-bit
+
+
+def test_band_percentiles_positive_only(rng):
+    band = np.zeros((100, 100))
+    band[:50] = rng.uniform(100, 200, (50, 100))
+    lo, hi = band_percentiles(band, 2, 98)
+    assert 100 <= lo <= 110
+    assert 190 <= hi <= 200
+
+
+def test_rescale_and_zero_fraction(rng):
+    img = rng.uniform(0, 2000, (20, 20, 3))
+    out = rescale_to_u8(img, rescale="clip", fixed_range=(0, 2000))
+    assert out.dtype == np.uint8
+    np.testing.assert_allclose(out.astype(float), img / 2000 * 255, atol=1.0)
+    img[:10] = 0
+    assert zero_fraction(img) == pytest.approx(0.5)
+
+
+def test_convert_to_8bit_16bit_input(tmp_path, rng):
+    from PIL import Image
+
+    # A 4-band 16-bit raster written band-interleaved via our writer path is
+    # not possible (u8 writer), so write 16-bit grayscale stack with PIL.
+    data = rng.integers(0, 4000, size=(30, 30), dtype=np.uint16)
+    src = str(tmp_path / "in.tif")
+    Image.fromarray(data).save(src)
+    dst = str(tmp_path / "out.tif")
+    ok = convert_to_8bit(src, dst, bands=(1, 1, 1))
+    assert ok
+    with gt.GeoTiff(dst) as tif:
+        out = tif.read()
+        assert out.dtype == np.uint8
+        assert out.shape == (30, 30, 3)
+
+
+def test_convert_skips_blank(tmp_path, rng):
+    from PIL import Image
+
+    data = np.zeros((20, 20), np.uint16)
+    data[:2, :2] = 100  # 99% zeros
+    src = str(tmp_path / "blank.tif")
+    Image.fromarray(data).save(src)
+    assert not convert_to_8bit(src, str(tmp_path / "o.tif"), bands=(1, 1, 1))
+
+
+# ---------------------------------------------------------------- tiles / csv
+
+
+def _write_metadata(tmp_path, city, records):
+    d = tmp_path / city
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / "metadata.json", "w") as f:
+        json.dump(records, f)
+    return str(tmp_path)
+
+
+def test_metadata_to_annotated_frame(tmp_path):
+    root = _write_metadata(
+        tmp_path / "meta", "paris",
+        [{"id": 1, "owner": "o", "latitude": 48.85, "longitude": 2.35,
+          "license": "4", "url_o": "http://x/1.jpg"}],
+    )
+    frame = metadata_to_frame(os.path.join(root, "paris", "metadata.json"), "paris")
+    ann = annotate_frame(frame)
+    # surface/overhead paths must land at columns 15/16 — the schema the
+    # models read (reference cvig_fov.py:45-50).
+    assert list(ann.columns)[15] == "surface_path"
+    assert list(ann.columns)[16] == "overhead_path"
+    assert ann.iloc[0]["satellite"] == "WV-3"
+    assert "creativecommons" in ann.iloc[0]["license_url"]
+
+
+def test_clip_tiles_and_split(tmp_path, rng):
+    # Synthetic 600m Paris strip at 0.3 m/px, centered on a known point.
+    e, n, epsg = gt.wgs84_to_utm(48.8566, 2.3522)
+    strip = rng.integers(1, 255, size=(2000, 2000, 3), dtype=np.uint8)
+    gtf = np.array([e - 300, 0.3, 0, n + 300, 0, -0.3])
+    sat_dir = tmp_path / "sat"
+    sat_dir.mkdir()
+    gt.write_geotiff_u8(str(sat_dir / "03_paris.tif"), strip, gtf, epsg)
+
+    frame = annotate_frame(
+        pd.DataFrame(
+            [
+                {"aoi": "paris", "id": "100", "latitude": 48.8566, "longitude": 2.3522},
+                {"aoi": "paris", "id": "101", "latitude": 48.8570, "longitude": 2.3530},
+                # far outside the strip -> zero tile -> dropped
+                {"aoi": "paris", "id": "102", "latitude": 48.90, "longitude": 2.50},
+            ]
+        )
+    )
+    out_dir = tmp_path / "out"
+    kept = clip_tiles(frame, str(sat_dir), str(out_dir), edge=225.0)
+    assert set(kept["id"]) == {"100", "101"}
+    with gt.GeoTiff(str(out_dir / kept.iloc[0]["overhead_path"])) as tile:
+        assert tile.width == 750  # 225 m / 0.3 m/px
+        assert tile.epsg == epsg
+    train, test = split_train_test(kept)
+    assert len(train) == 0 and len(test) == 2  # paris is the held-out city
+
+
+# ---------------------------------------------------------------- density / filter
+
+
+def test_haversine_and_density():
+    # ~111 m per 0.001 degree latitude
+    d = haversine_m(48.0, 2.0, 48.001, 2.0)
+    assert 110 < float(d) < 112.5
+    frame = pd.DataFrame(
+        {
+            "aoi": ["a"] * 3,
+            "id": ["1", "2", "3"],
+            "latitude": [48.0, 48.0, 48.001],
+            "longitude": [2.0, 2.0000001, 2.0],
+        }
+    )
+    out = limit_density(frame, threshold_m=10.0)
+    assert len(out) == 2  # the two near-identical points collapse to one
+
+
+def test_filter_frame():
+    frame = pd.DataFrame({"id": ["1", "2", "3"], "x": [1, 2, 3]})
+    assert list(filter_frame(frame, ["2"], "retain")["id"]) == ["2"]
+    assert list(filter_frame(frame, ["2"], "remove")["id"]) == ["1", "3"]
+
+
+# ---------------------------------------------------------------- modify
+
+
+def test_modify_options(rng):
+    surface = rng.integers(0, 255, (100, 360, 3), dtype=np.uint8)
+    overhead = rng.integers(0, 255, (700, 700, 3), dtype=np.uint8)
+    g = np.random.default_rng(0)
+    s = fov_slice(surface, g)
+    assert s.shape == (100, 70, 3)  # 70/360 * 360
+    z = random_zoom(surface, g)
+    assert z.shape[0] <= 100 and z.shape[1] <= 90
+    c = center_crop(overhead, 550)
+    assert c.shape == (550, 550, 3)
+    np.testing.assert_array_equal(c, overhead[75:625, 75:625])
+    s2, o2 = modify_pair(surface, overhead, [10, 50], g)
+    assert s2.shape == (100, 70, 3)
+    assert o2.shape == (550, 550, 3)
+
+
+def test_fov_slice_wraps(rng):
+    width = 200
+    surface = np.tile(np.arange(width, dtype=np.uint8)[None, :, None], (4, 1, 3))
+    g = np.random.default_rng(5)
+    for _ in range(20):
+        s = fov_slice(surface, g)
+        assert s.shape[1] == round(70 / 360 * width)
+        cols = s[0, :, 0].astype(int)
+        assert np.all(np.diff(cols) % width == 1)  # contiguous modulo wrap
+
+
+# ---------------------------------------------------------------- heatmap grid
+
+
+def test_window_grid():
+    bounds = (0.0, 0.0, 450.0, 450.0)
+    ce, cn, windows = window_grid(bounds, edge=225.0, offset=112.5)
+    assert len(windows) == len(ce) == len(cn)
+    # grid spans the bounds with half-edge margins
+    assert len(ce) == 16
+    ulx, uly, lrx, lry = windows[0]
+    assert lrx - ulx == 225.0 and uly - lry == 225.0
+
+
+# ---------------------------------------------------------------- semantic masks
+
+
+def test_semantic_mask_precompute(tmp_path, rng):
+    overhead_dir = tmp_path / "overhead"
+    overhead_dir.mkdir()
+    tile = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    gt.write_geotiff_u8(str(overhead_dir / "t.tif"), tile)
+    n = precompute_masks(str(overhead_dir), verbose=False)
+    assert n == 1
+    out_path = tmp_path / "cresi_uint8" / "t.tif"
+    with gt.GeoTiff(str(out_path)) as tif:
+        out = tif.read()
+        assert out.shape == (64, 64, 4)
+        np.testing.assert_array_equal(out[..., :3], tile)
+    mask = heuristic_road_mask(tile.astype(np.float32))
+    assert mask.shape == (64, 64)
+    assert 0 <= mask.min() and mask.max() <= 1
+
+
+# ---------------------------------------------------------------- flickr (stubbed)
+
+
+def make_stub_api(photos_by_region):
+    """Stub: photos_by_region maps bbox-inclusion to synthetic photos with
+    lat/lon; the stub filters by the requested bbox."""
+
+    def api(params, key, retries=3):
+        bbox = tuple(float(v) for v in params["bbox"].split(","))
+        hits = [
+            p for p in photos_by_region
+            if bbox[0] <= p["longitude"] <= bbox[2] and bbox[1] <= p["latitude"] <= bbox[3]
+        ]
+        per_page = int(params.get("per_page", 250))
+        page = int(params.get("page", 1))
+        start = (page - 1) * per_page
+        return {
+            "stat": "ok",
+            "photos": {
+                "total": len(hits),
+                "pages": max(1, -(-len(hits) // per_page)),
+                "photo": hits[start : start + per_page],
+            },
+        }
+
+    return api
+
+
+def test_flickr_partition_and_scrape(tmp_path, rng):
+    photos = [
+        {"id": str(i), "latitude": float(rng.uniform(48.8, 48.9)),
+         "longitude": float(rng.uniform(2.2, 2.4)), "url_o": f"http://x/{i}.jpg"}
+        for i in range(50)
+    ]
+    # duplicate one id across regions to exercise dedup
+    photos.append(dict(photos[0]))
+    api = make_stub_api(photos)
+    cfg = ScraperConfig(out_dir=str(tmp_path), max_per_box=20,
+                        cities={"paris": (2.2, 48.8, 2.4, 48.9)})
+    boxes = partition_bboxes(cfg.cities["paris"], cfg, api)
+    assert len(boxes) >= 3  # 50 photos / cap 20 forces splits
+    records = scrape_city("paris", cfg, api)
+    assert len(records) == 50  # deduped
+    assert os.path.exists(tmp_path / "paris" / "metadata.json")
+    urls = open(tmp_path / "paris" / "urls").read().splitlines()
+    assert len(urls) == 50
+
+
+def test_split_bbox_long_axis():
+    a, b = split_bbox((0, 0, 10, 2))
+    assert a[2] == 5 and b[0] == 5
+    a, b = split_bbox((0, 0, 2, 10))
+    assert a[3] == 5 and b[1] == 5
+
+
+def test_download_local_and_replay(tmp_path):
+    def fetch(url):
+        if "bad" in url:
+            raise IOError("404")
+        return b"data-" + url.encode()
+
+    ok, failed = download_local(
+        [("http://x/a.jpg", "paris"), ("http://x/bad.jpg", "paris")],
+        str(tmp_path / "dl"), n_workers=2, fetch=fetch,
+    )
+    assert len(ok) == 1 and len(failed) == 1
+    assert (tmp_path / "dl" / "paris" / "a.jpg").read_bytes() == b"data-http://x/a.jpg"
+
+    root = tmp_path / "meta"
+    (root / "paris").mkdir(parents=True)
+    with open(root / "paris" / "metadata.json", "w") as f:
+        json.dump([{"id": "1", "url_o": "http://x/a.jpg"}], f)
+    n_ok, n_fail = replay_metadata(
+        str(root), out_dir=str(tmp_path / "dl2"),
+        failures_path=str(tmp_path / "failed.txt"), fetch=fetch,
+    )
+    assert (n_ok, n_fail) == (1, 0)

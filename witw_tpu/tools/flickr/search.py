@@ -1,0 +1,174 @@
+"""Flickr geotagged-photo scraper: recursive bbox search + metadata dump.
+
+Re-implements the reference scraper's strategy (reference
+tools/download/flickr/src/flickr_search.py) against the Flickr REST API
+directly with httpx (the flickrapi package is not available here):
+
+- recursive bisection: Flickr caps any geo query at ~4000 results, so boxes
+  with more hits are split on their long axis until each is under the cap
+  (quadtree-style, reference flickr_search.py:66-125),
+- page through flickr.photos.search collecting metadata + original URLs with
+  per-id dedup (reference flickr_search.py:175-248),
+- write metadata.json / urls per city (reference flickr_search.py:250-276),
+- optional AWS Lambda fan-out of the downloads (reference
+  flickr_search.py:278-342) via witw_tpu.tools.flickr.uploader.
+
+Network access is required to actually run; all request logic is isolated in
+``_api_call`` so tests can stub it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+from witw_tpu.tools.flickr.config import BBox, ScraperConfig
+
+API_URL = "https://api.flickr.com/services/rest/"
+EXTRAS = "geo,license,url_o,date_taken,owner_name"
+
+
+def _api_call(params: Dict, api_key: str, retries: int = 3) -> Dict:
+    import httpx
+
+    query = dict(
+        params,
+        api_key=api_key,
+        format="json",
+        nojsoncallback=1,
+    )
+    last_err: Optional[Exception] = None
+    for attempt in range(retries):
+        try:
+            resp = httpx.get(API_URL, params=query, timeout=30.0)
+            resp.raise_for_status()
+            data = resp.json()
+            if data.get("stat") != "ok":
+                raise RuntimeError(f"flickr error: {data}")
+            return data
+        except Exception as err:  # pragma: no cover - network path
+            last_err = err
+            time.sleep(2.0 * (attempt + 1))
+    raise RuntimeError(f"flickr API failed after {retries} tries: {last_err}")
+
+
+def count_in_bbox(bbox: BBox, cfg: ScraperConfig, api=_api_call) -> int:
+    data = api(
+        {
+            "method": "flickr.photos.search",
+            "bbox": ",".join(f"{v:.6f}" for v in bbox),
+            "license": ",".join(cfg.licenses),
+            "has_geo": 1,
+            "per_page": 1,
+        },
+        cfg.api_key,
+    )
+    return int(data["photos"]["total"])
+
+
+def split_bbox(bbox: BBox) -> List[BBox]:
+    """Bisect on the long axis (reference flickr_search.py:66-125)."""
+    min_lon, min_lat, max_lon, max_lat = bbox
+    if (max_lon - min_lon) >= (max_lat - min_lat):
+        mid = (min_lon + max_lon) / 2.0
+        return [(min_lon, min_lat, mid, max_lat), (mid, min_lat, max_lon, max_lat)]
+    mid = (min_lat + max_lat) / 2.0
+    return [(min_lon, min_lat, max_lon, mid), (min_lon, mid, max_lon, max_lat)]
+
+
+def partition_bboxes(bbox: BBox, cfg: ScraperConfig, api=_api_call, max_depth: int = 12) -> List[BBox]:
+    """Recursively split until each box is under the result cap."""
+    out: List[BBox] = []
+    stack = [(bbox, 0)]
+    while stack:
+        box, depth = stack.pop()
+        total = count_in_bbox(box, cfg, api)
+        if total < cfg.max_per_box or depth >= max_depth:
+            if total > 0:
+                out.append(box)
+        else:
+            for child in split_bbox(box):
+                stack.append((child, depth + 1))
+    return out
+
+
+def collect_photos(bbox: BBox, cfg: ScraperConfig, api=_api_call) -> List[Dict]:
+    """Page through one bbox's results (reference flickr_search.py:175-248)."""
+    photos: List[Dict] = []
+    page = 1
+    while True:
+        data = api(
+            {
+                "method": "flickr.photos.search",
+                "bbox": ",".join(f"{v:.6f}" for v in bbox),
+                "license": ",".join(cfg.licenses),
+                "has_geo": 1,
+                "extras": EXTRAS,
+                "per_page": cfg.per_page,
+                "page": page,
+            },
+            cfg.api_key,
+        )
+        body = data["photos"]
+        photos.extend(body.get("photo", []))
+        if page >= int(body.get("pages", 0)):
+            break
+        page += 1
+    return photos
+
+
+def scrape_city(
+    city: str,
+    cfg: ScraperConfig,
+    api=_api_call,
+    on_photo: Optional[Callable[[Dict], None]] = None,
+) -> List[Dict]:
+    """Scrape one city; writes metadata.json + urls files
+    (reference flickr_search.py:250-276). Returns the deduped records."""
+    bbox = cfg.cities[city]
+    boxes = partition_bboxes(bbox, cfg, api)
+    seen: Dict[str, Dict] = {}
+    for box in boxes:
+        for photo in collect_photos(box, cfg, api):
+            pid = str(photo.get("id"))
+            if pid in seen:
+                continue
+            seen[pid] = photo
+            if on_photo is not None:
+                on_photo(photo)
+    records = list(seen.values())
+
+    city_dir = os.path.join(cfg.out_dir, city)
+    os.makedirs(city_dir, exist_ok=True)
+    with open(os.path.join(city_dir, "metadata.json"), "w") as f:
+        json.dump(records, f)
+    with open(os.path.join(city_dir, "urls"), "w") as f:
+        for rec in records:
+            url = rec.get("url_o")
+            if url:
+                f.write(url + "\n")
+    return records
+
+
+def main(argv=None):  # pragma: no cover - network entry point
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Scrape Flickr geotagged photos")
+    parser.add_argument("--config", default=None, help="YAML config path")
+    parser.add_argument("--api-key", default=os.environ.get("FLICKR_API_KEY", ""))
+    parser.add_argument("--out-dir", default="./flickr_out")
+    parser.add_argument("--cities", nargs="*", default=None)
+    args = parser.parse_args(argv)
+    cfg = ScraperConfig.from_yaml(args.config) if args.config else ScraperConfig()
+    if args.api_key:
+        cfg.api_key = args.api_key
+    cfg.out_dir = args.out_dir
+    for city in args.cities or cfg.cities:
+        records = scrape_city(city, cfg)
+        print(f"{city}: {len(records)} photos")
+
+
+if __name__ == "__main__":
+    main()

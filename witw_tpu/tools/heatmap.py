@@ -1,0 +1,193 @@
+"""Geolocation heatmap sweep — the inference/"serve" path.
+
+TPU-native counterpart of reference tools/heatmap/heatmap.py: grid a UTM
+bounding box into overlapping edge-meter tiles (reference heatmap.py:119-124),
+cut each tile from the satellite strip with the native windowed reader
+(instead of per-tile gdal.Translate to /vsimem, heatmap.py:50-66), embed the
+query photo + all tiles with the trained FOV towers, and score every tile via
+the streaming correlation/chord-distance engine — one batched device sweep
+instead of the reference's per-batch accumulate + single giant correlation.
+
+Output CSV columns x, y, orientation, dissimilarity, score match the
+reference (heatmap.py:179-187), with orientation in degrees computed from the
+*actual* embedding width rather than the reference's hard-coded 64
+(heatmap.py:171-173 — a quirk documented in SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from witw_tpu.configs import fov_experiment
+from witw_tpu.tools.cities import strip_filename
+from witw_tpu.tools.geotiff import GeoTiff, resample, write_geotiff_u8
+
+
+def window_grid(
+    bounds: Sequence[float], edge: float, offset: float
+) -> Tuple[np.ndarray, np.ndarray, list]:
+    """Tile centers + projWin windows over UTM bounds
+    (min_e, min_n, max_e, max_n) — reference heatmap.py:119-124."""
+    e2 = edge / 2.0
+    eastings = np.arange(bounds[0] - e2, bounds[2] - e2, offset)
+    northings = np.arange(bounds[3] + e2, bounds[1] + e2, -offset)
+    centers_e, centers_n, windows = [], [], []
+    for easting in eastings:
+        for northing in northings:
+            centers_e.append(easting + e2)
+            centers_n.append(northing - e2)
+            windows.append((easting, northing, easting + edge, northing - edge))
+    return np.asarray(centers_e), np.asarray(centers_n), windows
+
+
+def sweep(
+    sat_path: str,
+    photo_path: str,
+    csv_path: str,
+    bounds: Sequence[float],
+    edge: float = 225.0,
+    offset: float = 56.25,
+    fov: int = 70,
+    checkpoint_dir: str = "./weights",
+    tag: Optional[str] = None,
+    batch_size: int = 64,
+    state=None,
+    verbose: bool = True,
+) -> pd.DataFrame:
+    import jax
+
+    from witw_tpu.data.loader import decode_image, resize_host
+    from witw_tpu.evaluation.gallery import FovGalleryEvaluator
+    from witw_tpu.match.distance import window_sq_norms
+    from witw_tpu.train.checkpoint import Checkpointer
+    from witw_tpu.train.pipeline import make_pipeline
+    import jax.numpy as jnp
+
+    cfg = fov_experiment(dataset="witw", fov=fov)
+    d = cfg.data
+    pipeline = make_pipeline(cfg)
+    if state is None:
+        ckpt = Checkpointer(
+            os.path.join(checkpoint_dir, tag or f"fov_{fov}_witw")
+        )
+        state = ckpt.restore("best", pipeline.init(jax.random.PRNGKey(0)))
+
+    # --- tile grid + windowed reads ---
+    centers_e, centers_n, windows = window_grid(bounds, edge, offset)
+    sat = GeoTiff(sat_path)
+    tiles = np.zeros(
+        (len(windows), d.overhead_size, d.overhead_size, 3), np.float32
+    )
+    for i, (ulx, uly, lrx, lry) in enumerate(windows):
+        tile = sat.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
+        tiles[i] = resample(tile[..., :3], d.overhead_size, d.overhead_size)
+    sat.close()
+
+    # --- query photo ---
+    photo = decode_image(photo_path)
+    photo = resize_host(photo, d.surface_height, d.surface_width)[None]
+
+    # --- embed ---
+    @jax.jit
+    def embed_surface(params, x):
+        from witw_tpu.ops.image import normalize_images
+
+        x = normalize_images(x, d.img_mean, d.img_std)
+        return pipeline.surface_model.apply({"params": params["surface"]}, x)
+
+    @jax.jit
+    def embed_overhead(params, x):
+        from witw_tpu.ops.image import normalize_images
+        from witw_tpu.ops.polar import polar_transform
+
+        x = normalize_images(x, d.img_mean, d.img_std)
+        polar = polar_transform(x, d.surface_height, d.surface_width_max)
+        return pipeline.overhead_model.apply({"params": params["overhead"]}, polar)
+
+    s_emb = np.asarray(embed_surface(state.params, jnp.asarray(photo)))
+    o_parts = []
+    n = len(tiles)
+    pad_n = -(-n // batch_size) * batch_size
+    tiles_padded = np.concatenate(
+        [tiles, np.zeros((pad_n - n, *tiles.shape[1:]), np.float32)]
+    )
+    for start in range(0, pad_n, batch_size):
+        o_parts.append(
+            np.asarray(
+                embed_overhead(state.params, jnp.asarray(tiles_padded[start : start + batch_size]))
+            )
+        )
+    o_emb = np.concatenate(o_parts)[:n]
+
+    # --- one-query correlation + distance over the whole tile gallery ---
+    from witw_tpu.match.correlation import circular_correlation
+    from witw_tpu.match.distance import chord_distance
+
+    corr = circular_correlation(jnp.asarray(o_emb), jnp.asarray(s_emb), method="fft")
+    distances, orientations = chord_distance(jnp.asarray(o_emb), jnp.asarray(s_emb), corr)
+    distances = np.asarray(distances)[:, 0]
+    orientations = np.asarray(orientations)[:, 0]
+    out_width = o_emb.shape[2]
+    orientation_deg = orientations * 360.0 / out_width - 180.0
+    scores = np.exp(10.0 * (1.0 - distances))
+
+    frame = pd.DataFrame(
+        {
+            "x": centers_e,
+            "y": centers_n,
+            "orientation": orientation_deg,
+            "dissimilarity": distances,
+            "score": scores,
+        }
+    )
+    frame.to_csv(csv_path, index=False)
+    if verbose:
+        print(f"swept {n} tiles -> {csv_path}")
+    return frame
+
+
+def layer(sat_path: str, bounds: Sequence[float], layer_path: str) -> None:
+    """Crop the satellite strip to the sweep bounds for GIS display
+    (reference heatmap.py:190-194)."""
+    with GeoTiff(sat_path) as sat:
+        tile = sat.read_world_window(bounds[0], bounds[3], bounds[2], bounds[1])
+        gt = sat.geotransform
+        out_gt = np.array([bounds[0], gt[1], 0.0, bounds[3], 0.0, gt[5]])
+        write_geotiff_u8(layer_path, tile.astype(np.uint8), out_gt, sat.epsg)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Geolocation heatmap sweep")
+    parser.add_argument("-a", "--aoi", type=int, choices=range(1, 12), default=3,
+                        help="SpaceNet AOI of satellite image")
+    parser.add_argument("-b", "--bounds", type=float, nargs=4,
+                        default=(447665.8, 5411329.8, 448184.8, 5411814.8),
+                        metavar=("left", "bottom", "right", "top"),
+                        help="UTM bounds: min easting, min northing, max easting, max northing")
+    parser.add_argument("-e", "--edge", type=float, default=225)
+    parser.add_argument("-o", "--offset", type=float, default=56.25)
+    parser.add_argument("-f", "--fov", type=int, default=70)
+    parser.add_argument("-s", "--satdir", default="/local_data/geoloc/sat/utm")
+    parser.add_argument("-p", "--photopath", default="img.jpg")
+    parser.add_argument("-c", "--csvpath", default="./geomatch.csv")
+    parser.add_argument("-l", "--layerpath", default="./satlayer.tiff")
+    parser.add_argument("-i", "--image", action="store_true")
+    parser.add_argument("--weights", default="./weights")
+    args = parser.parse_args(argv)
+    from witw_tpu.tools.cities import CITIES
+
+    name = [c.name for c in CITIES.values() if c.index == args.aoi][0]
+    sat_path = os.path.join(args.satdir, strip_filename(name))
+    sweep(sat_path, args.photopath, args.csvpath, args.bounds,
+          args.edge, args.offset, args.fov, checkpoint_dir=args.weights)
+    if args.image:
+        layer(sat_path, args.bounds, args.layerpath)
+
+
+if __name__ == "__main__":
+    main()
