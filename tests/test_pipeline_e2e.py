@@ -1,0 +1,160 @@
+"""End-to-end pipeline tests: dataset construction -> loader -> model,
+reprojection warp, heatmap sweep on a synthetic satellite strip."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from witw_tpu.tools import geotiff as gt
+from witw_tpu.tools.build_dataset import build
+from witw_tpu.tools.reproject import reproject_to_utm, _utm_to_wgs84_vec, _wgs84_to_utm_vec
+
+
+@pytest.fixture
+def synthetic_city(tmp_path, rng):
+    """Metadata + photos + satellite strip for 'paris'."""
+    from PIL import Image
+
+    e, n, epsg = gt.wgs84_to_utm(48.8566, 2.3522)
+    strip = rng.integers(1, 255, size=(1600, 1600, 3), dtype=np.uint8)
+    gtf = np.array([e - 240, 0.3, 0, n + 240, 0, -0.3])
+    sat_dir = tmp_path / "sat"
+    sat_dir.mkdir()
+    gt.write_geotiff_u8(str(sat_dir / "03_paris.tif"), strip, gtf, epsg)
+
+    photo_dir = tmp_path / "photos" / "paris"
+    photo_dir.mkdir(parents=True)
+    meta_dir = tmp_path / "meta" / "paris"
+    meta_dir.mkdir(parents=True)
+    records = []
+    for i in range(4):
+        pid = str(1000 + i)
+        img = rng.integers(0, 255, (64, 128, 3), dtype=np.uint8)
+        Image.fromarray(img).save(photo_dir / f"{pid}.jpg")
+        records.append(
+            {"id": pid, "latitude": 48.8566 + i * 1e-4, "longitude": 2.3522,
+             "license": "4", "url_o": f"http://x/{pid}.jpg"}
+        )
+    # one grayscale photo that must be filtered out
+    pid = "9999"
+    Image.fromarray(rng.integers(0, 255, (64, 128), dtype=np.uint8), mode="L").save(
+        photo_dir / f"{pid}.jpg"
+    )
+    records.append({"id": pid, "latitude": 48.8566, "longitude": 2.3522, "license": "4"})
+    with open(meta_dir / "metadata.json", "w") as f:
+        json.dump(records, f)
+    return {
+        "meta_root": str(tmp_path / "meta"),
+        "photo_dir": str(tmp_path / "photos"),
+        "sat_dir": str(sat_dir),
+        "out_dir": str(tmp_path / "dataset"),
+    }
+
+
+def test_build_dataset_end_to_end(synthetic_city):
+    frame = build(
+        synthetic_city["meta_root"],
+        synthetic_city["photo_dir"],
+        synthetic_city["sat_dir"],
+        synthetic_city["out_dir"],
+        edge=60.0,  # 200 px tiles from the small strip
+        verbose=False,
+    )
+    assert len(frame) == 4  # grayscale photo dropped
+    out = synthetic_city["out_dir"]
+    assert os.path.exists(os.path.join(out, "train.csv"))
+    test_frame = pd.read_csv(os.path.join(out, "test.csv"))
+    assert len(test_frame) == 4  # paris is the test city
+    # CSV columns 15/16 hold the pair paths readable by the data layer
+    from witw_tpu.configs import DATASETS
+    from witw_tpu.data import read_pair_paths
+
+    pairs = read_pair_paths(DATASETS["witw"], os.path.join(out, "test.csv"))
+    assert len(pairs) == 4
+    for surface, overhead in pairs:
+        assert os.path.exists(surface)
+        assert os.path.exists(overhead)
+    # and the loader can decode them
+    from witw_tpu.data import PairLoader
+
+    loader = PairLoader(pairs, batch_size=2, surface_hw=(32, 64), overhead_hw=(32, 32),
+                        num_workers=2)
+    batch = next(iter(loader))
+    assert batch["surface"].shape == (2, 32, 64, 3)
+    assert batch["overhead"].shape == (2, 32, 32, 3)
+
+
+def test_vectorized_geodesy_roundtrip():
+    lats = np.array([[48.85, 48.86], [48.87, 48.88]])
+    lons = np.array([[2.34, 2.35], [2.36, 2.37]])
+    e, n = _wgs84_to_utm_vec(lats, lons, 32631)
+    lat2, lon2 = _utm_to_wgs84_vec(e, n, 32631)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    # matches the native scalar path
+    e_s, n_s, _ = gt.wgs84_to_utm(48.85, 2.34)
+    assert abs(e[0, 0] - e_s) < 1e-6 and abs(n[0, 0] - n_s) < 1e-6
+
+
+def test_reproject_wgs84_strip_to_utm(tmp_path, rng):
+    """A small EPSG:4326 raster warped to UTM: constant regions must stay
+    constant and the output georeferencing must cover the source."""
+    data = np.full((200, 200, 3), 99, np.uint8)
+    # ~0.0001 deg/px near Paris
+    gtf = np.array([2.3500, 1e-5, 0, 48.8600, 0, -1e-5])
+    src = str(tmp_path / "src4326.tif")
+    gt.write_geotiff_u8(src, data, gtf, 4326)
+    dst = str(tmp_path / "utm.tif")
+    reproject_to_utm(src, dst, 32631, resolution=0.3, block=256)
+    with gt.GeoTiff(dst) as out:
+        assert out.epsg == 32631
+        img = out.read()
+        # interior of the warped raster keeps the constant value
+        h, w = img.shape[:2]
+        interior = img[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4]
+        assert (interior == 99).mean() > 0.99
+
+
+@pytest.mark.slow
+def test_heatmap_sweep_synthetic(tmp_path, rng):
+    """Full sweep: synthetic UTM strip + query photo + fresh towers."""
+    import jax
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.tools.heatmap import layer, sweep
+    from witw_tpu.train.pipeline import make_pipeline
+
+    e0, n0 = 447600.0, 5411900.0
+    strip = rng.integers(1, 255, size=(1200, 1200, 3), dtype=np.uint8)
+    gtf = np.array([e0, 0.3, 0, n0, 0, -0.3])
+    sat_path = str(tmp_path / "03_paris.tif")
+    gt.write_geotiff_u8(sat_path, strip, gtf, 32631)
+
+    from PIL import Image
+
+    photo_path = str(tmp_path / "img.jpg")
+    Image.fromarray(rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)).save(photo_path)
+
+    cfg = fov_experiment(dataset="witw", fov=70)
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    csv_path = str(tmp_path / "match.csv")
+    bounds = (e0 + 30, n0 - 330, e0 + 330, n0 - 30)
+    frame = sweep(sat_path, photo_path, csv_path, bounds,
+                  edge=225.0, offset=112.5, fov=70, state=state, verbose=False)
+    assert set(frame.columns) == {"x", "y", "orientation", "dissimilarity", "score"}
+    assert len(frame) >= 4
+    assert np.all(np.isfinite(frame["score"]))
+    assert np.all(frame["dissimilarity"] >= 0)
+    np.testing.assert_allclose(
+        frame["score"], np.exp(10 * (1 - frame["dissimilarity"])), rtol=1e-5
+    )
+
+    layer_path = str(tmp_path / "layer.tif")
+    layer(sat_path, bounds, layer_path)
+    with gt.GeoTiff(layer_path) as out:
+        assert out.width == 1000 and out.height == 1000  # 300 m / 0.3

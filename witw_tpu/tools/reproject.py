@@ -112,7 +112,7 @@ def reproject_to_utm(
                     vals = src_img[yi, xi]
                 inside = (sx >= -0.5) & (sx < src.width - 0.5) & (sy >= -0.5) & (sy < src.height - 0.5)
                 vals = np.where(inside[..., None], vals, 0)
-                out[by : by + bh, bx : bx + bw] = np.clip(vals, 0, 255).astype(np.uint8)
+                out[by : by + bh, bx : bx + bw] = np.clip(np.round(vals), 0, 255).astype(np.uint8)
 
         dst_gt = np.array([e_min, resolution, 0.0, n_max, 0.0, -resolution])
         write_geotiff_u8(dst_path, out, dst_gt, dst_epsg)
