@@ -1,0 +1,175 @@
+"""Data layer: CSV schemas, loader decode path, converter."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from witw_tpu.configs import DATASETS, FovDsmModelConfig
+from witw_tpu.data import PairLoader, read_pair_paths, split_train_val, write_synthetic_dataset
+
+
+def test_cvusa_schema_roundtrip(tmp_path, rng):
+    csv_path = write_synthetic_dataset(str(tmp_path), n=6, schema="cvusa",
+                                       surface_hw=(32, 64), overhead_hw=(32, 32))
+    pairs = read_pair_paths(DATASETS["cvusa"], csv_path)
+    assert len(pairs) == 6
+    surface, overhead = pairs[0]
+    # cvusa CSV columns are [overhead, surface] (reference cvig_fov.py:38-44)
+    assert "surface" in surface and "overhead" in overhead
+    assert os.path.isabs(surface)
+
+
+def test_witw_schema_roundtrip(tmp_path):
+    csv_path = write_synthetic_dataset(str(tmp_path), n=4, schema="witw",
+                                       surface_hw=(32, 64), overhead_hw=(32, 32))
+    pairs = read_pair_paths(DATASETS["witw"], csv_path)
+    assert len(pairs) == 4
+    surface, overhead = pairs[0]
+    assert "surface" in surface and "overhead" in overhead
+
+
+def test_pair_loader_batches(tmp_path):
+    csv_path = write_synthetic_dataset(str(tmp_path), n=5, schema="cvusa",
+                                       surface_hw=(32, 64), overhead_hw=(32, 32))
+    pairs = read_pair_paths(DATASETS["cvusa"], csv_path)
+    loader = PairLoader(pairs, batch_size=2, surface_hw=(16, 32), overhead_hw=(16, 16),
+                        num_workers=2, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["surface"].shape == (2, 16, 32, 3)
+    assert batches[-1]["surface"].shape == (1, 16, 32, 3)
+    # drop_last
+    loader2 = PairLoader(pairs, batch_size=2, surface_hw=(16, 32), overhead_hw=(16, 16),
+                         num_workers=2, drop_last=True)
+    assert len(list(loader2)) == 2
+    assert len(loader2) == 2
+
+
+def test_loader_shuffle_determinism(tmp_path):
+    csv_path = write_synthetic_dataset(str(tmp_path), n=8, schema="cvusa",
+                                       surface_hw=(16, 32), overhead_hw=(16, 16))
+    pairs = read_pair_paths(DATASETS["cvusa"], csv_path)
+    l1 = PairLoader(pairs, batch_size=4, surface_hw=(16, 32), overhead_hw=(16, 16),
+                    shuffle=True, seed=7)
+    l2 = PairLoader(pairs, batch_size=4, surface_hw=(16, 32), overhead_hw=(16, 16),
+                    shuffle=True, seed=7)
+    idx1 = [b["idx"].tolist() for b in l1]
+    idx2 = [b["idx"].tolist() for b in l2]
+    assert idx1 == idx2
+    # next epoch differs
+    idx3 = [b["idx"].tolist() for b in l1]
+    assert idx1 != idx3
+
+
+def test_split_train_val_partition():
+    pairs = [(f"s{i}", f"o{i}") for i in range(10)]
+    train, val = split_train_val(pairs, 3, seed=1)
+    assert len(train) == 7 and len(val) == 3
+    assert set(train) | set(val) == set(pairs)
+    assert not set(train) & set(val)
+
+
+def test_convert_torch_vgg_state_dict():
+    """Fabricated torchvision-style VGG16 state dict -> FovDsm params, plus
+    the 5-channel semantic first-conv merge (reference cvig_semantic.py:301-303)."""
+    torch = pytest.importorskip("torch")
+    from witw_tpu.models import FovDsm
+    from witw_tpu.models.backbones.vgg16 import VGG16_CONVS
+    from witw_tpu.models.convert_torch import (
+        convert_fov_dsm_state_dict,
+        merge_pretrained_vgg,
+    )
+
+    gen = torch.Generator().manual_seed(0)
+    state = {}
+    in_ch = 3
+    for idx, out_ch in VGG16_CONVS:
+        state[f"features.{idx}.weight"] = torch.randn(out_ch, in_ch, 3, 3, generator=gen)
+        state[f"features.{idx}.bias"] = torch.randn(out_ch, generator=gen)
+        in_ch = out_ch
+    converted = convert_fov_dsm_state_dict(state)
+    assert converted["vgg"]["conv_0"]["kernel"].shape == (3, 3, 3, 64)
+    np.testing.assert_allclose(
+        converted["vgg"]["conv_0"]["kernel"][..., 0, 5],
+        state["features.0.weight"][5, 0].numpy(),
+        rtol=1e-6,
+    )
+
+    # merge into fresh params (3-channel)
+    model = FovDsm(FovDsmModelConfig(compute_dtype="float32"), circ_padding=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)))
+    params = jax.tree.map(np.asarray, variables["params"])
+    merged = merge_pretrained_vgg(params, converted)
+    np.testing.assert_allclose(
+        merged["vgg"]["conv_2"]["kernel"],
+        converted["vgg"]["conv_2"]["kernel"],
+        rtol=1e-6,
+    )
+    # head convs keep their fresh init (torchvision VGG has none)
+    np.testing.assert_allclose(merged["conv_23"]["kernel"], params["conv_23"]["kernel"])
+
+    # 5-channel semantic merge: RGB weights land in first 3 input channels
+    sem_model = FovDsm(
+        FovDsmModelConfig(in_channels=5, train_first_conv=True, compute_dtype="float32"),
+        circ_padding=False,
+    )
+    sem_vars = sem_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 5)))
+    sem_params = jax.tree.map(np.asarray, sem_vars["params"])
+    sem_merged = merge_pretrained_vgg(sem_params, converted)
+    np.testing.assert_allclose(
+        sem_merged["vgg"]["conv_0"]["kernel"][:, :, :3, :],
+        converted["vgg"]["conv_0"]["kernel"],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        sem_merged["vgg"]["conv_0"]["kernel"][:, :, 3:, :],
+        sem_params["vgg"]["conv_0"]["kernel"][:, :, 3:, :],
+    )
+
+
+def test_convert_wrapped_reference_keys():
+    """Reference tower checkpoints wrap convs as model.features.N.layer.*
+    (HorizCircPadding/AddDropout, cvig_fov.py:212-245); the converter strips
+    wrappers and picks up the head convs at indices 23/25/27."""
+    torch = pytest.importorskip("torch")
+    from witw_tpu.models.backbones.vgg16 import VGG16_CONVS
+    from witw_tpu.models.convert_torch import convert_fov_dsm_state_dict
+
+    gen = torch.Generator().manual_seed(0)
+    state = {}
+    in_ch = 3
+    for idx, out_ch in VGG16_CONVS:
+        prefix = f"model.features.{idx}.layer" if idx >= 17 else f"model.features.{idx}"
+        state[f"{prefix}.weight"] = torch.randn(out_ch, in_ch, 3, 3, generator=gen)
+        state[f"{prefix}.bias"] = torch.randn(out_ch, generator=gen)
+        in_ch = out_ch
+    for idx, out_ch, in_c in [(23, 256, 512), (25, 64, 256), (27, 16, 64)]:
+        state[f"model.features.{idx}.layer.weight"] = torch.randn(out_ch, in_c, 3, 3, generator=gen)
+        state[f"model.features.{idx}.layer.bias"] = torch.randn(out_ch, generator=gen)
+    converted = convert_fov_dsm_state_dict(state)
+    assert converted["conv_23"]["kernel"].shape == (3, 3, 512, 256)
+    assert converted["conv_27"]["kernel"].shape == (3, 3, 64, 16)
+
+
+def test_convert_baseline_state_dict():
+    torch = pytest.importorskip("torch")
+    from witw_tpu.models.convert_torch import convert_baseline_state_dict
+
+    gen = torch.Generator().manual_seed(0)
+    state = {}
+    chans = [(3, 64), (64, 128), (128, 256), (256, 512), (512, 512), (512, 512), (512, 512)]
+    for i, (cin, cout) in enumerate(chans, start=1):
+        state[f"conv{i}.weight"] = torch.randn(cout, cin, 4, 4, generator=gen)
+        state[f"conv{i}.bias"] = torch.randn(cout, generator=gen)
+        state[f"bn{i}.weight"] = torch.randn(cout, generator=gen)
+        state[f"bn{i}.bias"] = torch.randn(cout, generator=gen)
+        state[f"bn{i}.running_mean"] = torch.randn(cout, generator=gen)
+        state[f"bn{i}.running_var"] = torch.rand(cout, generator=gen) + 0.5
+        state[f"bn{i}.num_batches_tracked"] = torch.tensor(0)
+    params, stats = convert_baseline_state_dict(state)
+    assert params["conv1"]["kernel"].shape == (4, 4, 3, 64)
+    assert params["bn3"]["scale"].shape == (256,)
+    assert stats["bn7"]["var"].shape == (512,)
