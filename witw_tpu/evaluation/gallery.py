@@ -55,10 +55,18 @@ class FovGalleryEvaluator:
         mesh: Optional[Mesh] = None,
         query_block: int = 128,
         gallery_chunk: int = 1024,
+        use_pallas: bool = False,
     ):
+        """``use_pallas`` switches the per-chunk kernel to the fused Pallas
+        correlation+distance kernel (witw_tpu.ops.pallas.fused_match), which
+        never materializes the [G, Q, W] correlation tensor in HBM. At CVUSA
+        feature-map shapes the XLA FFT path measures slightly faster on
+        TPU v5e (1.4 vs 1.9 ms per 1024x128 block), so it stays the default;
+        the Pallas path wins headroom as Q*G grows."""
         self.mesh = mesh
         self.query_block = query_block
         self.gallery_chunk = gallery_chunk
+        self.use_pallas = use_pallas
 
     def ranks(self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray) -> np.ndarray:
         n = surface_embeds.shape[0]
@@ -78,17 +86,24 @@ class FovGalleryEvaluator:
         n_chunks = -(-n // self.gallery_chunk)
         n_gal_pad = n_chunks * self.gallery_chunk
         gal = jnp.pad(gal, ((0, n_gal_pad - n), (0, 0), (0, 0), (0, 0)))
-        fo = jnp.fft.rfft(gal, axis=2)  # [Ng, h, wf, c]
-        wsq = window_sq_norms(gal, sw)  # [Ng, w]
-        gal_valid = (jnp.arange(n_gal_pad) < n)
-        fo = fo.reshape(n_chunks, self.gallery_chunk, *fo.shape[1:])
-        wsq = wsq.reshape(n_chunks, self.gallery_chunk, w)
-        gal_valid = gal_valid.reshape(n_chunks, self.gallery_chunk)
+        gal_valid = (jnp.arange(n_gal_pad) < n).reshape(n_chunks, self.gallery_chunk)
+        if self.use_pallas:
+            chunk_args = (
+                gal.reshape(n_chunks, self.gallery_chunk, *gal.shape[1:]),
+                gal_valid,
+            )
+            block_fn = _make_block_counter_pallas(sw)
+        else:
+            fo = jnp.fft.rfft(gal, axis=2)  # [Ng, h, wf, c]
+            wsq = window_sq_norms(gal, sw)  # [Ng, w]
+            fo = fo.reshape(n_chunks, self.gallery_chunk, *fo.shape[1:])
+            wsq = wsq.reshape(n_chunks, self.gallery_chunk, w)
+            chunk_args = (fo, wsq, gal_valid)
+            block_fn = _make_block_counter(self.mesh)
 
         # --- blockwise query sweep ---
         qb = self.query_block
         counts = np.zeros(n, dtype=np.int32)
-        block_fn = _make_block_counter(self.mesh)
         for start in range(0, n, qb):
             stop = min(start + qb, n)
             s_block = _pad_to(
@@ -103,7 +118,7 @@ class FovGalleryEvaluator:
             else:
                 s_arr = jnp.asarray(s_block)
                 dt_arr = jnp.asarray(dt_block)
-            c = block_fn(fo, wsq, gal_valid, s_arr, dt_arr)
+            c = block_fn(*chunk_args, s_arr, dt_arr)
             counts[start:stop] = np.asarray(c)[: stop - start]
         # The true pair always satisfies d <= d_true (equality) in exact
         # arithmetic; guard against FFT roundoff dropping the self-match.
@@ -157,6 +172,25 @@ def _make_block_counter(mesh: Optional[Mesh]):
             return jnp.sum(le.astype(jnp.int32), axis=0)  # [Q]
 
         per_chunk = jax.lax.map(one_chunk, (fo_chunks, wsq_chunks, valid_chunks))
+        return jnp.sum(per_chunk, axis=0)
+
+    return block_counts
+
+
+def _make_block_counter_pallas(sw: int):
+    """Per-chunk counter using the fused Pallas correlation+distance kernel
+    (witw_tpu.ops.pallas.fused_match) — no [G, Q, W] tensor in HBM."""
+    from witw_tpu.ops.pallas.fused_match import fused_chord_distance_nhwc
+
+    @jax.jit
+    def block_counts(gal_chunks, valid_chunks, s_block, d_true_block):
+        def one_chunk(args):
+            gal, valid = args
+            d, _ = fused_chord_distance_nhwc(gal, s_block)  # [G, Q]
+            le = (d <= d_true_block[None, :]) & valid[:, None]
+            return jnp.sum(le.astype(jnp.int32), axis=0)
+
+        per_chunk = jax.lax.map(one_chunk, (gal_chunks, valid_chunks))
         return jnp.sum(per_chunk, axis=0)
 
     return block_counts
