@@ -52,7 +52,14 @@ def build_loader(cfg: ExperimentConfig, pairs, shuffle, drop_last, batch_size=No
     )
 
 
-def run_train(cfg: ExperimentConfig, tag: str, num_epochs: Optional[int] = None):
+def run_train(
+    cfg: ExperimentConfig,
+    tag: str,
+    num_epochs: Optional[int] = None,
+    profile_dir: Optional[str] = None,
+):
+    from witw_tpu.utils.profiling import trace_profile
+
     pairs = read_pair_paths(cfg.data.dataset, cfg.data.dataset.train_csv)
     train_pairs, val_pairs = split_train_val(pairs, cfg.train.val_quantity, cfg.train.seed)
     train_loader = build_loader(cfg, train_pairs, shuffle=True, drop_last=True)
@@ -60,10 +67,11 @@ def run_train(cfg: ExperimentConfig, tag: str, num_epochs: Optional[int] = None)
     pipeline = make_pipeline(cfg)
     ckpt = Checkpointer(os.path.join(cfg.train.checkpoint_dir, tag), cfg.train.keep_checkpoints)
     writer = MetricWriter(os.path.join(cfg.train.tensorboard_dir, tag, "train"))
-    return loop.train(
-        cfg, pipeline, train_loader, val_loader,
-        num_epochs=num_epochs, checkpointer=ckpt, writer=writer,
-    )
+    with trace_profile(profile_dir):
+        return loop.train(
+            cfg, pipeline, train_loader, val_loader,
+            num_epochs=num_epochs, checkpointer=ckpt, writer=writer,
+        )
 
 
 def run_test(cfg: ExperimentConfig, tag: str):
@@ -96,6 +104,10 @@ def base_parser(with_fov: bool) -> argparse.ArgumentParser:
     parser.add_argument("--test-csv", default=None, help="Override test CSV path")
     parser.add_argument("--epochs", type=int, default=None, help="Epoch limit")
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument(
+        "--profile-dir", default=None,
+        help="Write a jax.profiler device trace for the run (TensorBoard-compatible)",
+    )
     return parser
 
 

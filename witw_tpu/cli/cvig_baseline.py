@@ -14,7 +14,7 @@ def main(argv=None):
     cfg = apply_overrides(baseline_experiment(dataset=args.dataset), args)
     tag = f"baseline_{args.dataset}"
     if args.mode == "train":
-        run_train(cfg, tag, num_epochs=args.epochs)
+        run_train(cfg, tag, num_epochs=args.epochs, profile_dir=args.profile_dir)
     else:
         run_test(cfg, tag)
 

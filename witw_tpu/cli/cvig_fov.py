@@ -15,7 +15,7 @@ def main(argv=None):
     cfg = apply_overrides(fov_experiment(dataset=args.dataset, fov=args.fov), args)
     tag = f"fov_{args.fov}_{args.dataset}"
     if args.mode == "train":
-        run_train(cfg, tag, num_epochs=args.epochs)
+        run_train(cfg, tag, num_epochs=args.epochs, profile_dir=args.profile_dir)
     else:
         run_test(cfg, tag)
 

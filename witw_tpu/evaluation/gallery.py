@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from witw_tpu.match.distance import paired_chord_distance, window_sq_norms
+from witw_tpu.match.distance import paired_chord_distance_fft, window_sq_norms
 
 
 def _pad_to(x: np.ndarray, size: int, axis: int = 0) -> np.ndarray:
@@ -101,25 +101,24 @@ class FovGalleryEvaluator:
             chunk_args = (fo, wsq, gal_valid)
             block_fn = _make_block_counter(self.mesh)
 
-        # --- blockwise query sweep ---
+        # --- query sweep: all blocks in ONE dispatch (lax.map over query
+        # blocks, each lax.map-ing over gallery chunks) ---
         qb = self.query_block
-        counts = np.zeros(n, dtype=np.int32)
-        for start in range(0, n, qb):
-            stop = min(start + qb, n)
-            s_block = _pad_to(
-                np.asarray(surface_embeds[start:stop], np.float32), qb
-            )
-            dt_block = _pad_to(np.asarray(d_true[start:stop], np.float32), qb)
-            if self.mesh is not None:
-                qsh = NamedSharding(self.mesh, P(self.mesh.axis_names, None, None, None))
-                dsh = NamedSharding(self.mesh, P(self.mesh.axis_names))
-                s_arr = jax.device_put(s_block, qsh)
-                dt_arr = jax.device_put(dt_block, dsh)
-            else:
-                s_arr = jnp.asarray(s_block)
-                dt_arr = jnp.asarray(dt_block)
-            c = block_fn(*chunk_args, s_arr, dt_arr)
-            counts[start:stop] = np.asarray(c)[: stop - start]
+        n_qblocks = -(-n // qb)
+        s_all = _pad_to(np.asarray(surface_embeds, np.float32), n_qblocks * qb)
+        s_all = s_all.reshape(n_qblocks, qb, *s_all.shape[1:])
+        dt_all = _pad_to(np.asarray(d_true, np.float32), n_qblocks * qb)
+        dt_all = dt_all.reshape(n_qblocks, qb)
+        if self.mesh is not None:
+            # Shard the per-block query axis over the whole mesh.
+            qsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names, None, None, None))
+            dsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names))
+            s_arr = jax.device_put(s_all, qsh)
+            dt_arr = jax.device_put(dt_all, dsh)
+        else:
+            s_arr = jnp.asarray(s_all)
+            dt_arr = jnp.asarray(dt_all)
+        counts = np.asarray(block_fn(*chunk_args, s_arr, dt_arr)).reshape(-1)[:n]
         # The true pair always satisfies d <= d_true (equality) in exact
         # arithmetic; guard against FFT roundoff dropping the self-match.
         return np.maximum(counts, 1)
@@ -130,70 +129,83 @@ class FovGalleryEvaluator:
 
 @functools.partial(jax.jit)
 def _paired_distance_batched(overhead, surface):
-    d, _ = paired_chord_distance(overhead, surface)
+    d, _ = paired_chord_distance_fft(overhead, surface)
     return d
 
 
 def _make_block_counter(mesh: Optional[Mesh]):
     @jax.jit
-    def block_counts(fo_chunks, wsq_chunks, valid_chunks, s_block, d_true_block):
-        """Count gallery items with distance <= d_true for each query.
+    def all_counts(fo_chunks, wsq_chunks, valid_chunks, s_blocks, d_true_blocks):
+        """Count gallery items with distance <= d_true for every query.
 
         fo_chunks: complex [C, G, h, wf, c]; wsq_chunks: [C, G, w];
-        valid_chunks: bool [C, G]; s_block: [Q, h, sw, c];
-        d_true_block: [Q]. Returns int32 [Q].
+        valid_chunks: bool [C, G]; s_blocks: [NB, Q, h, sw, c];
+        d_true_blocks: [NB, Q]. Returns int32 [NB, Q].
         """
         w = wsq_chunks.shape[-1]
-        sw = s_block.shape[2]
-        s = s_block.astype(jnp.float32)
-        s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
-        fs = jnp.fft.rfft(s_pad, axis=2)  # [Q, h, wf, c]
-        s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))  # [Q]
+        sw = s_blocks.shape[3]
 
-        def one_chunk(args):
-            fo, wsq, valid = args
-            prod = jnp.einsum(
-                "ghfc,qhfc->gqf", fo, jnp.conj(fs),
-                precision=jax.lax.Precision.HIGHEST,
+        def one_qblock(args):
+            s_block, d_true_block = args
+            s = s_block.astype(jnp.float32)
+            s_pad = (
+                jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
             )
-            corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [G, Q, w]
-            # Orientation = argmax of the *unnormalized* correlation
-            # (reference cvig_fov.py:312-313); its value is the max.
-            corr_max = jnp.max(corr, axis=-1)  # [G, Q]
-            orient = jnp.argmax(corr, axis=-1)  # [G, Q]
-            wsq_at = jnp.take_along_axis(
-                jnp.broadcast_to(wsq[:, None, :], corr.shape), orient[..., None], axis=-1
-            )[..., 0]
-            cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
-                s_norm[None, :], 1e-10
-            )
-            d = 2.0 * (1.0 - cos)  # [G, Q]
-            le = (d <= d_true_block[None, :]) & valid[:, None]
-            return jnp.sum(le.astype(jnp.int32), axis=0)  # [Q]
+            fs = jnp.fft.rfft(s_pad, axis=2)  # [Q, h, wf, c]
+            s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))  # [Q]
 
-        per_chunk = jax.lax.map(one_chunk, (fo_chunks, wsq_chunks, valid_chunks))
-        return jnp.sum(per_chunk, axis=0)
+            def one_chunk(args):
+                fo, wsq, valid = args
+                prod = jnp.einsum(
+                    "ghfc,qhfc->gqf", fo, jnp.conj(fs),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [G, Q, w]
+                # Orientation = argmax of the *unnormalized* correlation
+                # (reference cvig_fov.py:312-313); its value is the max.
+                corr_max = jnp.max(corr, axis=-1)  # [G, Q]
+                orient = jnp.argmax(corr, axis=-1)  # [G, Q]
+                wsq_at = jnp.take_along_axis(
+                    jnp.broadcast_to(wsq[:, None, :], corr.shape),
+                    orient[..., None], axis=-1,
+                )[..., 0]
+                cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
+                    s_norm[None, :], 1e-10
+                )
+                d = 2.0 * (1.0 - cos)  # [G, Q]
+                le = (d <= d_true_block[None, :]) & valid[:, None]
+                return jnp.sum(le.astype(jnp.int32), axis=0)  # [Q]
 
-    return block_counts
+            per_chunk = jax.lax.map(one_chunk, (fo_chunks, wsq_chunks, valid_chunks))
+            return jnp.sum(per_chunk, axis=0)
+
+        return jax.lax.map(one_qblock, (s_blocks, d_true_blocks))  # [NB, Q]
+
+    return all_counts
 
 
 def _make_block_counter_pallas(sw: int):
-    """Per-chunk counter using the fused Pallas correlation+distance kernel
+    """Counter using the fused Pallas correlation+distance kernel
     (witw_tpu.ops.pallas.fused_match) — no [G, Q, W] tensor in HBM."""
     from witw_tpu.ops.pallas.fused_match import fused_chord_distance_nhwc
 
     @jax.jit
-    def block_counts(gal_chunks, valid_chunks, s_block, d_true_block):
-        def one_chunk(args):
-            gal, valid = args
-            d, _ = fused_chord_distance_nhwc(gal, s_block)  # [G, Q]
-            le = (d <= d_true_block[None, :]) & valid[:, None]
-            return jnp.sum(le.astype(jnp.int32), axis=0)
+    def all_counts(gal_chunks, valid_chunks, s_blocks, d_true_blocks):
+        def one_qblock(args):
+            s_block, d_true_block = args
 
-        per_chunk = jax.lax.map(one_chunk, (gal_chunks, valid_chunks))
-        return jnp.sum(per_chunk, axis=0)
+            def one_chunk(args):
+                gal, valid = args
+                d, _ = fused_chord_distance_nhwc(gal, s_block)  # [G, Q]
+                le = (d <= d_true_block[None, :]) & valid[:, None]
+                return jnp.sum(le.astype(jnp.int32), axis=0)
 
-    return block_counts
+            per_chunk = jax.lax.map(one_chunk, (gal_chunks, valid_chunks))
+            return jnp.sum(per_chunk, axis=0)
+
+        return jax.lax.map(one_qblock, (s_blocks, d_true_blocks))
+
+    return all_counts
 
 
 def euclidean_ranks(

@@ -3,6 +3,7 @@ from witw_tpu.match.distance import (
     window_sq_norms,
     chord_distance,
     paired_chord_distance,
+    paired_chord_distance_fft,
     match_scores,
 )
 from witw_tpu.match.reference_impl import (
@@ -20,6 +21,7 @@ __all__ = [
     "window_sq_norms",
     "chord_distance",
     "paired_chord_distance",
+    "paired_chord_distance_fft",
     "match_scores",
     "crop_overhead_materialized",
     "chord_distance_materialized",

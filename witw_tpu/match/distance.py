@@ -98,6 +98,34 @@ def paired_chord_distance(
     return 2.0 * (1.0 - cos), orientation
 
 
+def paired_chord_distance_fft(
+    overhead_embed: jax.Array,
+    surface_embed: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """FFT form of :func:`paired_chord_distance`: O(N * W log W) compute and
+    O(N * h * W * c) memory — no circular-window materialization. Used for
+    the evaluator's true-match pass so the full-gallery sweep and the
+    threshold share the same arithmetic."""
+    o = overhead_embed.astype(jnp.float32)
+    s = surface_embed.astype(jnp.float32)
+    w = o.shape[2]
+    sw = s.shape[2]
+    s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
+    fo = jnp.fft.rfft(o, axis=2)
+    fs = jnp.fft.rfft(s_pad, axis=2)
+    prod = jnp.einsum(
+        "bhfc,bhfc->bf", fo, jnp.conj(fs), precision=jax.lax.Precision.HIGHEST
+    )
+    corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [B, W]
+    orientation = jnp.argmax(corr, axis=-1).astype(jnp.int32)
+    corr_max = jnp.max(corr, axis=-1)
+    wsq = window_sq_norms(o, sw)
+    crop_norm = jnp.sqrt(jnp.take_along_axis(wsq, orientation[:, None], axis=1))[:, 0]
+    s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
+    cos = corr_max / (crop_norm * s_norm)
+    return 2.0 * (1.0 - cos), orientation
+
+
 def match_scores(distances: jax.Array, temperature: float = 10.0) -> jax.Array:
     """Heatmap similarity score from chord distance: exp(t * (1 - d))
     (reference tools/heatmap/heatmap.py:177)."""

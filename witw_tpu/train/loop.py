@@ -43,12 +43,18 @@ def run_phase(
     verbose: bool = True,
 ) -> tuple:
     """One pass over a loader; returns (state, avg_loss, count)."""
+    from witw_tpu.utils.profiling import StepTimer
+
     phase = "train" if train else "val"
     running_loss = 0.0
     running_count = 0
     losses = []
+    timer = None
     for batch_i, batch in enumerate(loader):
         count = len(batch["surface"])
+        if timer is None:
+            timer = StepTimer(items_per_step=count)
+        timer.tick()
         batch = {k: v for k, v in batch.items() if k in ("surface", "overhead")}
         if mesh is not None:
             batch = shard_batch(batch, mesh)
@@ -82,8 +88,16 @@ def run_phase(
                 f"count = {running_count}, loss = {loss_f:.4f}"
             )
     avg = running_loss / max(running_count, 1)
+    if timer is not None and writer is not None:
+        stats = timer.summary()
+        if stats.get("steps"):
+            writer.scalar(f"{phase} pairs_per_sec", stats["items_per_sec"], epoch)
+            writer.scalar(f"{phase} step_time_p50_s", stats["step_time_p50_s"], epoch)
     if verbose:
-        print(f"  {phase:>5}: avg loss = {avg:f}")
+        extra = ""
+        if timer is not None and timer.summary().get("steps"):
+            extra = f" ({timer.items_per_sec:.1f} pairs/s)"
+        print(f"  {phase:>5}: avg loss = {avg:f}{extra}")
     return state, avg, running_count
 
 

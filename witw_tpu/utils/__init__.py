@@ -1,0 +1,3 @@
+from witw_tpu.utils.profiling import StepTimer, trace_profile
+
+__all__ = ["StepTimer", "trace_profile"]
