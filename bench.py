@@ -7,15 +7,17 @@ overhead polar-transformed on device from a 256^2 tile, batch 64) plus the
 full in-batch circular correlation + orientation-aligned chord distance.
 
 Measurement notes:
-- K forward steps are fused into one dispatch via lax.scan so the number
-  reflects device throughput, not host/tunnel dispatch latency (the axon
-  test harness adds ~45 ms per dispatch that a local TPU host does not).
+- SCAN_STEPS forward steps run inside one dispatch via lax.scan **over
+  distinct per-step inputs** (loop-invariant inputs would let XLA hoist the
+  body and fake the number), so the figure reflects device throughput rather
+  than host/tunnel dispatch latency (~25 ms/dispatch in this harness).
 - Synchronization is a value fetch (np.asarray) — under the axon tunnel
-  block_until_ready does not reliably wait.
+  block_until_ready does not reliably wait; the fixed dispatch+fetch cost is
+  measured with an empty-body scan and subtracted.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor is
 a documented engineering estimate of the PyTorch reference on a V100
-(twin VGG16 towers forward at these shapes + correlation matching):
+(twin VGG16 towers forward at these shapes + correlation matching, fp32):
 ~300 pairs/s. BASELINE.json's target is >=10x that per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -28,13 +30,15 @@ import numpy as np
 
 V100_REFERENCE_PAIRS_PER_SEC = 300.0  # documented estimate, see module docstring
 BATCH = 64
-SCAN_STEPS = 10
+SCAN_STEPS = 4
 REPS = 3
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from witw_tpu.configs import fov_experiment
     from witw_tpu.match.correlation import circular_correlation
@@ -48,18 +52,16 @@ def main():
     d = cfg.data
 
     rng = np.random.default_rng(0)
-    batch = {
-        "surface": jnp.asarray(
-            rng.uniform(0, 255, (BATCH, d.surface_height, d.surface_width_max, 3)).astype(
-                np.float32
-            )
-        ),
-        "overhead": jnp.asarray(
-            rng.uniform(0, 255, (BATCH, d.overhead_size, d.overhead_size, 3)).astype(
-                np.float32
-            )
-        ),
-    }
+    surf = jnp.asarray(
+        rng.uniform(
+            0, 255, (SCAN_STEPS, BATCH, d.surface_height, d.surface_width_max, 3)
+        ).astype(np.float32)
+    )
+    over = jnp.asarray(
+        rng.uniform(
+            0, 255, (SCAN_STEPS, BATCH, d.overhead_size, d.overhead_size, 3)
+        ).astype(np.float32)
+    )
 
     def embed_match(params, batch):
         surface, polar = pipeline._preprocess(batch, jax.random.PRNGKey(0), train=False)
@@ -70,28 +72,38 @@ def main():
         return distance
 
     @jax.jit
-    def scan_steps(params, batch):
-        def body(carry, _):
-            return carry, embed_match(params, batch).sum()
-        _, outs = jax.lax.scan(body, 0, None, length=SCAN_STEPS)
+    def scan_steps(params, surf, over):
+        def body(carry, xs):
+            s, o = xs
+            return carry, embed_match(params, {"surface": s, "overhead": o}).sum()
+        _, outs = jax.lax.scan(body, 0, (surf, over))
         return outs
 
-    np.asarray(scan_steps(state.params, batch))  # compile + first run
-    best = float("inf")
-    for _ in range(REPS):
-        start = time.perf_counter()
-        out = scan_steps(state.params, batch)
-        np.asarray(out)  # hard sync
-        best = min(best, time.perf_counter() - start)
+    @jax.jit
+    def empty_dispatch(surf):
+        return surf[0, 0, 0, 0, 0] * 2.0
 
-    pairs_per_sec = BATCH * SCAN_STEPS / best
+    def measure(fn, *args):
+        np.asarray(fn(*args))  # compile + first run
+        best = float("inf")
+        for _ in range(REPS):
+            start = time.perf_counter()
+            np.asarray(fn(*args))  # hard sync
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    overhead = measure(empty_dispatch, surf)
+    total = measure(scan_steps, state.params, surf, over)
+    device_time = max(total - overhead, 1e-6)
+    pairs_per_sec = BATCH * SCAN_STEPS / device_time
+
     print(
         json.dumps(
             {
                 "metric": (
                     "embed+match image pairs/sec/chip "
                     "(FOV-DSM twin towers + circular correlation + chord distance, "
-                    "CVUSA geometry, batch 64, device-side)"
+                    "CVUSA geometry, batch 64, device-side, hoist-proof varying inputs)"
                 ),
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",

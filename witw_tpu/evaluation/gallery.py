@@ -59,10 +59,9 @@ class FovGalleryEvaluator:
     ):
         """``use_pallas`` switches the per-chunk kernel to the fused Pallas
         correlation+distance kernel (witw_tpu.ops.pallas.fused_match), which
-        never materializes the [G, Q, W] correlation tensor in HBM. At CVUSA
-        feature-map shapes the XLA FFT path measures slightly faster on
-        TPU v5e (1.4 vs 1.9 ms per 1024x128 block), so it stays the default;
-        the Pallas path wins headroom as Q*G grows."""
+        never materializes the [G, Q, W] correlation tensor in HBM. The XLA
+        FFT path is the measured default at CVUSA feature-map shapes; the
+        Pallas path trades compute for HBM headroom as Q*G grows."""
         self.mesh = mesh
         self.query_block = query_block
         self.gallery_chunk = gallery_chunk
