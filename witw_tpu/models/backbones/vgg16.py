@@ -8,11 +8,15 @@ indices (``conv_0`` ... ``conv_21``) so converted pretrained weights map 1:1
 
 TPU-specific choices:
 - NHWC layout (XLA:TPU native for convolutions).
-- Optional horizontally-circular padding: panoramas wrap around the width
-  seam, so the overhead (polar) tower pads width circularly and height with
-  zeros on *every* conv — the reference achieves this by layer surgery on
-  torch Conv2d internals (cvig_fov.py:212-231); here it is just an explicit
-  pad + VALID convolution that XLA fuses.
+- Zero padding is expressed as the conv's own padding config so XLA folds it
+  into the convolution (no copies).
+- Circular width padding (the overhead tower convolves a horizontally-wrapping
+  polar panorama — the reference does per-conv torch layer surgery,
+  cvig_fov.py:212-231): here the wrap halo is materialized once per
+  conv *block* (width + n_convs per side), and the block's convolutions run
+  width-VALID, consuming one halo column per conv. Translation invariance
+  makes this bit-identical to per-conv circular padding while cutting the
+  unfusable wrap-copy count from 13 to 4 (+1 in the head).
 - Dropout2d (whole-channel dropout, rate 0.2) after conv4_1/4_2/4_3, applied
   conv -> dropout -> relu, matching the reference's AddDropout wrapper order
   (cvig_fov.py:234-245,286-288).
@@ -20,7 +24,7 @@ TPU-specific choices:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,15 +39,20 @@ VGG16_CONVS: Tuple[Tuple[int, int], ...] = (
 POOL_AFTER = {2, 7, 14}  # pool follows these conv indices' relu
 DROPOUT_CONVS = {17, 19, 21}
 
+# Convs grouped between pools (block-level wrap halo).
+VGG16_BLOCKS: Tuple[Tuple[Tuple[int, int], ...], ...] = (
+    ((0, 64), (2, 64)),
+    ((5, 128), (7, 128)),
+    ((10, 256), (12, 256), (14, 256)),
+    ((17, 512), (19, 512), (21, 512)),
+)
 
-def pad_conv_input(x: jnp.ndarray, pad_h: int, pad_w: int, circular: bool) -> jnp.ndarray:
-    """Zero-pad height; zero- or circular-pad width (NHWC)."""
-    if pad_h:
-        x = jnp.pad(x, ((0, 0), (pad_h, pad_h), (0, 0), (0, 0)))
-    if pad_w:
-        mode = "wrap" if circular else "constant"
-        x = jnp.pad(x, ((0, 0), (0, 0), (pad_w, pad_w), (0, 0)), mode=mode)
-    return x
+
+def wrap_pad_width(x: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Circular-pad the width axis by `halo` per side (NHWC)."""
+    if halo == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (halo, halo), (0, 0)), mode="wrap")
 
 
 class Vgg16Features(nn.Module):
@@ -57,25 +66,30 @@ class Vgg16Features(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        for torch_idx, out_ch in VGG16_CONVS:
-            x = pad_conv_input(x, 1, 1, self.circ_padding)
-            x = nn.Conv(
-                out_ch,
-                kernel_size=(3, 3),
-                strides=(1, 1),
-                padding="VALID",
-                dtype=self.dtype,
-                name=f"conv_{torch_idx}",
-            )(x)
-            if torch_idx in DROPOUT_CONVS and self.dropout_rate > 0:
-                x = nn.Dropout(
-                    rate=self.dropout_rate,
-                    broadcast_dims=(1, 2),
-                    deterministic=not train,
-                    name=f"dropout_{torch_idx}",
+        # Width is zero-padded per conv normally, or wrap-padded per block;
+        # height is always zero-padded inside the conv (XLA folds it).
+        w_pad = (0, 0) if self.circ_padding else (1, 1)
+        for block_i, block in enumerate(VGG16_BLOCKS):
+            if self.circ_padding:
+                x = wrap_pad_width(x, len(block))
+            for torch_idx, out_ch in block:
+                x = nn.Conv(
+                    out_ch,
+                    kernel_size=(3, 3),
+                    strides=(1, 1),
+                    padding=((1, 1), w_pad),
+                    dtype=self.dtype,
+                    name=f"conv_{torch_idx}",
                 )(x)
-            x = nn.relu(x)
-            if torch_idx in POOL_AFTER:
+                if torch_idx in DROPOUT_CONVS and self.dropout_rate > 0:
+                    x = nn.Dropout(
+                        rate=self.dropout_rate,
+                        broadcast_dims=(1, 2),
+                        deterministic=not train,
+                        name=f"dropout_{torch_idx}",
+                    )(x)
+                x = nn.relu(x)
+            if block_i < 3:
                 # torch MaxPool2d(2, 2): VALID window, floor division of size.
                 x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
         return x

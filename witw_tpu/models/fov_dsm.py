@@ -19,9 +19,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from witw_tpu.configs.base import FovDsmModelConfig
-from witw_tpu.models.backbones.vgg16 import Vgg16Features, VGG16_CONVS, pad_conv_input
+from witw_tpu.models.backbones.vgg16 import Vgg16Features, VGG16_CONVS, wrap_pad_width
 
-# Head conv specs: (name, out_channels, (stride_h, stride_w), relu_after)
+# Head conv specs: (name, out_channels, (stride_h, stride_w), relu_after).
+# All head convs have width-stride 1, so the circular tower can take its
+# whole width halo (3 columns per side) in one wrap pad.
 HEAD_CONVS = (
     ("conv_23", 256, (2, 1), True),
     ("conv_25", 64, (2, 1), True),
@@ -43,13 +45,15 @@ class FovDsm(nn.Module):
             dtype=dtype,
             name="vgg",
         )(x, train=train)
+        if self.circ_padding:
+            x = wrap_pad_width(x, len(HEAD_CONVS))
+        w_pad = (0, 0) if self.circ_padding else (1, 1)
         for name, out_ch, strides, relu_after in HEAD_CONVS:
-            x = pad_conv_input(x, 1, 1, self.circ_padding)
             x = nn.Conv(
                 out_ch,
                 kernel_size=(3, 3),
                 strides=strides,
-                padding="VALID",
+                padding=((1, 1), w_pad),
                 dtype=dtype,
                 kernel_init=nn.initializers.xavier_uniform(),
                 name=name,

@@ -91,10 +91,18 @@ def polar_transform(
     overhead: jax.Array,
     surface_height: int = 128,
     surface_width: int = 512,
+    gather_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Polar-map a batch of square overhead tiles to pseudo-panoramas.
 
-    overhead: [B, S, S, C] (NHWC) or [S, S, C]. Returns [B, h_s, w_s, C].
+    overhead: [B, S, S, C] (NHWC) or [S, S, C]. Returns [B, h_s, w_s, C]
+    float32.
+
+    ``gather_dtype=bfloat16`` halves the gather's HBM traffic (the hot part of
+    this op on TPU). It is exact for raw uint8-valued tiles (bf16 represents
+    integers <= 256 exactly); call the transform *before* normalization in
+    that case — bilinear weights sum to 1, so the per-channel affine
+    normalization commutes with the transform.
     """
     squeeze = overhead.ndim == 3
     if squeeze:
@@ -105,10 +113,10 @@ def polar_transform(
     idx = jnp.asarray(grid.idx)
     weight = jnp.asarray(grid.weight)
 
-    flat = overhead.reshape(b, s * s, c).astype(jnp.float32)
+    flat = overhead.reshape(b, s * s, c).astype(gather_dtype)
     # Gather the four corners for every output pixel: [B, 4, h*w, C].
     corners = flat[:, idx, :]
-    out = jnp.einsum("bkpc,kp->bpc", corners, weight)
+    out = jnp.einsum("bkpc,kp->bpc", corners.astype(jnp.float32), weight)
     out = out.reshape(b, *grid.out_hw, c)
     if squeeze:
         out = out[0]

@@ -110,8 +110,16 @@ class FovPipeline:
                 surface = fov_crop(surface, starts, d.surface_width_max)
         scale_ch = 3 if d.dataset.semantic else None
         surface = normalize_images(surface, d.img_mean, d.img_std, scale_ch)
-        overhead = normalize_images(overhead, d.img_mean, d.img_std, scale_ch)
-        polar = polar_transform(overhead, d.surface_height, d.surface_width_max)
+        # Polar-transform the raw tile first with a bf16 gather (exact for
+        # uint8-valued pixels, halves the gather's HBM traffic), then
+        # normalize: the per-channel affine commutes with the transform
+        # because bilinear weights sum to 1. Reference order is
+        # normalize-then-polar (cvig_fov.py:393-397) — mathematically equal.
+        polar = polar_transform(
+            overhead, d.surface_height, d.surface_width_max,
+            gather_dtype=jnp.bfloat16,
+        )
+        polar = normalize_images(polar, d.img_mean, d.img_std, scale_ch)
         return surface, polar
 
     # ---- loss ----
