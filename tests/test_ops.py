@@ -143,3 +143,27 @@ def test_repeat_rows(rng):
     assert out.shape == (2, 6, 4, 1)
     np.testing.assert_array_equal(out[:, 0], x[:, 0])
     np.testing.assert_array_equal(out[:, 1], x[:, 0])
+
+
+def test_orientation_maps(rng):
+    """Live version of the reference's dead orientation-map code
+    (cvig_baseline.py:163-206): channel count, value ranges, and the overhead
+    radius/azimuth geometry."""
+    from witw_tpu.ops.orientation_maps import append_orientation_maps, orientation_map
+
+    surface = jnp.asarray(rng.standard_normal((2, 8, 16, 3)).astype(np.float32))
+    overhead = jnp.asarray(rng.standard_normal((2, 10, 10, 3)).astype(np.float32))
+    s2, o2 = append_orientation_maps(surface, overhead)
+    assert s2.shape == (2, 8, 16, 5)
+    assert o2.shape == (2, 10, 10, 5)
+    np.testing.assert_array_equal(np.asarray(s2[..., :3]), np.asarray(surface))
+
+    uv = orientation_map(8, 16, "surface")
+    assert uv.shape == (2, 8, 16)
+    assert uv.min() >= -1.0 and uv.max() <= 1.0
+    ov = orientation_map(10, 10, "overhead")
+    # radius channel is minimal near the center, maximal at corners;
+    # azimuth channel spans (-1, 1]
+    assert ov[0, 5, 5] == ov[0].min()
+    assert ov[0].max() == pytest.approx(1.0, abs=1e-6)
+    assert -1.0 <= ov[1].min() and ov[1].max() <= 1.0

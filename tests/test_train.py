@@ -129,3 +129,26 @@ def test_baseline_train_smoke(tmp_path):
         state, metrics = pipeline.train_step(state, data, rng)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_baseline_orientation_maps_smoke(tmp_path):
+    """Baseline pipeline with the live orientation-map channels enabled."""
+    ds = DatasetConfig(
+        name="witw", train_csv="", test_csv="", panorama=False, header=0,
+        path_columns=(15, 16), path_names=("surface", "overhead"),
+    )
+    cfg = ExperimentConfig(
+        data=DataConfig(dataset=ds),
+        model=BaselineModelConfig(compute_dtype="float32", orientation_maps=True),
+        train=TrainConfig(batch_size=2, checkpoint_dir=str(tmp_path / "ckpt")),
+    )
+    pipeline = make_pipeline(cfg)
+    import jax as _jax
+    state = pipeline.init(_jax.random.PRNGKey(0), surface_hw=(500, 500), overhead_hw=(500, 500))
+    assert state.params["surface"]["conv1"]["kernel"].shape[2] == 5
+    loader = tiny_loader(n=2, batch=2, surface_hw=(500, 500), overhead_hw=(500, 500))
+    batch = next(iter(loader))
+    data = {k: batch[k] for k in ("surface", "overhead")}
+    state, metrics = pipeline.train_step(state, data, _jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

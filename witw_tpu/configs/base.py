@@ -76,6 +76,9 @@ class BaselineModelConfig:
 
     kind: str = "baseline"
     bands: int = 3
+    # Append Liu & Li CVPR'19 u-v orientation-map channels to both views
+    # (live version of the reference's dead code, cvig_baseline.py:163-206).
+    orientation_maps: bool = False
     gem_power: float = 3.0
     # LeakyReLU negative slope (reference cvig_baseline.py:236).
     leaky_slope: float = 0.2

@@ -53,3 +53,31 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
     )
+
+
+def global_batch_from_local(batch, mesh: Mesh):
+    """Multi-host batch assembly: each process contributes its local shard of
+    the global batch (per-host data loading; the global batch axis spans all
+    processes' devices). Single-process falls back to :func:`shard_batch`."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(x)), np.asarray(x)
+        ),
+        batch,
+    )
+
+
+def initialize_distributed(coordinator: str = None, num_processes: int = None,
+                           process_id: int = None) -> None:
+    """Multi-host runtime bring-up (jax.distributed). No-op when the
+    environment provides auto-detection (TPU pods)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

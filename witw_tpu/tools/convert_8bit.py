@@ -139,6 +139,27 @@ def dir_to_8bit(
     return done
 
 
+def convert_strips(src_dir: str, dst_dir: str, n_workers: int = 12) -> int:
+    """Per-AOI strip conversion driver with the right band order per
+    satellite product (reference tools/dataset_building/convert_strips.py:14-77:
+    WV-3 PS-MS strips use bands [5,3,2]; WV-2 AOIs use [3,2,1])."""
+    import os as _os
+
+    from witw_tpu.tools.cities import strip_filename
+
+    _os.makedirs(dst_dir, exist_ok=True)
+    done = 0
+    for city, product in DEFAULT_AOI_BANDS.items():
+        fn = strip_filename(city)
+        src = _os.path.join(src_dir, fn)
+        if not _os.path.exists(src):
+            continue
+        bands = BAND_ORDERS[product]
+        if convert_to_8bit(src, _os.path.join(dst_dir, fn), bands=bands):
+            done += 1
+    return done
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="16-bit -> 8-bit RGB conversion")
     parser.add_argument("--src", required=True, help="source file or directory")

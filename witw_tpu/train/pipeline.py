@@ -187,9 +187,10 @@ class BaselinePipeline:
         h, w = surface_hw
         if self.repeat_surface_rows:
             h *= 2
+        channels = d.channels + (2 if getattr(self.cfg.model, "orientation_maps", False) else 0)
         k1, k2 = jax.random.split(rng)
-        v_s = self.surface_model.init(k1, jnp.zeros((1, h, w, d.channels)))
-        v_o = self.overhead_model.init(k2, jnp.zeros((1, *overhead_hw, d.channels)))
+        v_s = self.surface_model.init(k1, jnp.zeros((1, h, w, channels)))
+        v_o = self.overhead_model.init(k2, jnp.zeros((1, *overhead_hw, channels)))
         params = {"surface": v_s["params"], "overhead": v_o["params"]}
         batch_stats = {"surface": v_s["batch_stats"], "overhead": v_o["batch_stats"]}
         tx = self.optimizer(params)
@@ -216,6 +217,10 @@ class BaselinePipeline:
         )
         if self.repeat_surface_rows:
             surface = repeat_rows(surface, 2)
+        if getattr(self.cfg.model, "orientation_maps", False):
+            from witw_tpu.ops.orientation_maps import append_orientation_maps
+
+            surface, overhead = append_orientation_maps(surface, overhead)
         return surface, overhead
 
     def _forward_loss(self, params, batch_stats, batch, rng, train: bool):
