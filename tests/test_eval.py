@@ -71,3 +71,32 @@ def test_metrics_from_ranks():
     assert m["locations"] == 6
     assert m["avg_rank"] == np.mean(ranks)
     assert m["med_rank"] == np.median(ranks)
+
+
+def test_gallery_index_topk_and_persistence(rng, tmp_path):
+    """GalleryIndex.search returns the exact blockwise top-k (vs full-matrix
+    argsort) and survives a save/load roundtrip."""
+    from witw_tpu.evaluation import GalleryIndex
+
+    o, s = _random_embeds(rng, 40)
+    idx = GalleryIndex(o, meta={"x": np.arange(40.0), "y": np.arange(40.0) * 2})
+    indices, dists, orients = idx.search(s, k=5, gallery_chunk=16)
+    assert indices.shape == (40, 5)
+
+    corr = circular_correlation(jnp.asarray(o), jnp.asarray(s))
+    d, orient_full = chord_distance(jnp.asarray(o), jnp.asarray(s), corr)
+    d = np.asarray(d)  # [G, Q]
+    for q in range(40):
+        want = np.argsort(d[:, q], kind="stable")[:5]
+        np.testing.assert_allclose(np.sort(dists[q]), np.sort(d[want, q]), rtol=1e-5, atol=1e-6)
+    # planted structure: the true match should dominate top-1 often
+    top1_hits = np.mean(indices[:, 0] == np.arange(40))
+    assert top1_hits > 0.8
+
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+    idx2 = GalleryIndex.load(path)
+    np.testing.assert_array_equal(idx2.embeds, idx.embeds)
+    np.testing.assert_array_equal(idx2.meta["y"], idx.meta["y"])
+    i2, d2, _ = idx2.search(s, k=5, gallery_chunk=64)
+    np.testing.assert_allclose(d2, dists, rtol=1e-5, atol=1e-6)

@@ -3,5 +3,6 @@ from witw_tpu.evaluation.gallery import (
     euclidean_ranks,
     metrics_from_ranks,
 )
+from witw_tpu.evaluation.index import GalleryIndex
 
-__all__ = ["FovGalleryEvaluator", "euclidean_ranks", "metrics_from_ranks"]
+__all__ = ["FovGalleryEvaluator", "euclidean_ranks", "metrics_from_ranks", "GalleryIndex"]

@@ -1,0 +1,125 @@
+"""Gallery embedding index: persistence + top-k retrieval serving.
+
+The reference's serve path (tools/heatmap/heatmap.py) re-embeds the whole
+tile gallery for every sweep. This index persists embedded galleries (npz +
+metadata) and answers top-k queries blockwise on device — the building block
+for production geolocalization serving at 100k+ tile scale (BASELINE.json's
+"WITW city-tile ... sharded retrieval sweep" config).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from witw_tpu.match.distance import window_sq_norms
+
+
+class GalleryIndex:
+    """Embedded overhead gallery with precomputed correlation quantities.
+
+    embeds: [N, h, W, c] overhead (polar-tower) feature maps.
+    meta: optional per-item metadata (e.g. tile center coordinates).
+    """
+
+    def __init__(self, embeds: np.ndarray, meta: Optional[Dict[str, np.ndarray]] = None):
+        self.embeds = np.asarray(embeds, np.float32)
+        self.meta = {k: np.asarray(v) for k, v in (meta or {}).items()}
+        self._fo = None
+        self._wsq = {}
+
+    def __len__(self) -> int:
+        return len(self.embeds)
+
+    # ---- persistence ----
+
+    def save(self, path: str) -> None:
+        arrays = {"embeds": self.embeds}
+        arrays.update({f"meta_{k}": v for k, v in self.meta.items()})
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "GalleryIndex":
+        data = np.load(path)
+        meta = {
+            k[len("meta_"):]: data[k] for k in data.files if k.startswith("meta_")
+        }
+        return cls(data["embeds"], meta)
+
+    # ---- retrieval ----
+
+    def _gallery_fft(self, sw: int):
+        if self._fo is None:
+            self._fo = jnp.fft.rfft(jnp.asarray(self.embeds), axis=2)
+        if sw not in self._wsq:
+            self._wsq[sw] = window_sq_norms(jnp.asarray(self.embeds), sw)
+        return self._fo, self._wsq[sw]
+
+    def search(
+        self,
+        surface_embeds: np.ndarray,
+        k: int = 10,
+        gallery_chunk: int = 2048,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Top-k most similar gallery items per query.
+
+        surface_embeds: [Q, h, sw, c]. Returns (indices [Q, k],
+        distances [Q, k], orientations [Q, k]) sorted by ascending chord
+        distance. Blockwise over gallery chunks; top-k merged on host.
+        """
+        n = len(self.embeds)
+        q = surface_embeds.shape[0]
+        sw = surface_embeds.shape[2]
+        w = self.embeds.shape[2]
+        fo, wsq = self._gallery_fft(sw)
+
+        s = jnp.asarray(surface_embeds, jnp.float32)
+        s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
+        fs = jnp.fft.rfft(s_pad, axis=2)
+        s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
+
+        @jax.jit
+        def chunk_distances(fo_c, wsq_c, fs, s_norm):
+            prod = jnp.einsum(
+                "ghfc,qhfc->gqf", fo_c, jnp.conj(fs),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            corr = jnp.fft.irfft(prod, n=w, axis=-1)
+            corr_max = jnp.max(corr, axis=-1)
+            orient = jnp.argmax(corr, axis=-1)
+            wsq_at = jnp.take_along_axis(
+                jnp.broadcast_to(wsq_c[:, None, :], corr.shape),
+                orient[..., None], axis=-1,
+            )[..., 0]
+            cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
+                s_norm[None, :], 1e-10
+            )
+            return 2.0 * (1.0 - cos), orient  # [G, Q]
+
+        best_d = np.full((q, k), np.inf, np.float32)
+        best_i = np.full((q, k), -1, np.int64)
+        best_o = np.zeros((q, k), np.int32)
+        for start in range(0, n, gallery_chunk):
+            stop = min(start + gallery_chunk, n)
+            d, orient = chunk_distances(fo[start:stop], wsq[start:stop], fs, s_norm)
+            d = np.asarray(d).T  # [Q, G]
+            orient = np.asarray(orient).T
+            cand_d = np.concatenate([best_d, d], axis=1)
+            cand_i = np.concatenate(
+                [best_i, np.broadcast_to(np.arange(start, stop)[None, :], d.shape)],
+                axis=1,
+            )
+            cand_o = np.concatenate([best_o, orient], axis=1)
+            sel = np.argpartition(cand_d, k - 1, axis=1)[:, :k]
+            rows = np.arange(q)[:, None]
+            best_d = cand_d[rows, sel]
+            best_i = cand_i[rows, sel]
+            best_o = cand_o[rows, sel]
+        order = np.argsort(best_d, axis=1)
+        rows = np.arange(q)[:, None]
+        return best_i[rows, order], best_d[rows, order], best_o[rows, order]
