@@ -27,26 +27,35 @@ from witw_tpu.configs.base import DataConfig
 
 
 def decode_image(path: str) -> np.ndarray:
-    """Read an image file to HWC float32 (0-255 scale kept)."""
+    """Read an image file to HWC float32 (0-255 scale kept).
+
+    cv2 (SIMD jpeg/png decode) for standard formats; imageio/PIL for
+    TIFF/multiband."""
     ext = os.path.splitext(path)[1].lower()
     arr = None
-    if ext in (".tif", ".tiff"):
+    if ext not in (".tif", ".tiff"):
         try:
-            import imageio.v3 as iio
+            import cv2
 
-            arr = np.asarray(iio.imread(path))
+            cv2.setNumThreads(1)
+            arr = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if arr is not None:
+                if arr.ndim == 3 and arr.shape[2] == 3:
+                    arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+                elif arr.ndim == 3 and arr.shape[2] == 4:
+                    arr = cv2.cvtColor(arr, cv2.COLOR_BGRA2RGBA)
         except Exception:
             arr = None
     if arr is None:
         try:
+            import imageio.v3 as iio
+
+            arr = np.asarray(iio.imread(path))
+        except Exception:
             from PIL import Image
 
             with Image.open(path) as im:
                 arr = np.asarray(im)
-        except Exception:
-            import imageio.v3 as iio
-
-            arr = np.asarray(iio.imread(path))
     if arr.ndim == 2:
         arr = arr[..., None]
     return arr.astype(np.float32)
@@ -91,7 +100,13 @@ class PairLoader:
         num_workers: int = 8,
         seed: int = 0,
         prefetch: int = 2,
+        dtype=np.uint8,
+        worker_mode: Optional[str] = None,
     ):
+        """``dtype=uint8`` (default) quarters pickle + host->device traffic —
+        the device pipeline upcasts anyway. ``worker_mode``: 'process'
+        (default on multi-core hosts; image decode in CPython is GIL-bound so
+        threads don't scale) or 'thread'."""
         self.pairs = list(pairs)
         self.batch_size = batch_size
         self.surface_hw = surface_hw
@@ -102,6 +117,10 @@ class PairLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.dtype = dtype
+        if worker_mode is None:
+            worker_mode = "process" if (os.cpu_count() or 1) > 2 else "thread"
+        self.worker_mode = worker_mode
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -117,6 +136,12 @@ class PairLoader:
         overhead = resize_host(overhead, *self.overhead_hw)
         surface = _fix_channels(surface, self.channels)
         overhead = _fix_channels(overhead, self.channels)
+        if self.dtype == np.uint8:
+            surface = np.clip(np.round(surface), 0, 255).astype(np.uint8)
+            overhead = np.clip(np.round(overhead), 0, 255).astype(np.uint8)
+        else:
+            surface = surface.astype(self.dtype)
+            overhead = overhead.astype(self.dtype)
         return surface, overhead
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -134,13 +159,26 @@ class PairLoader:
 
         out_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        pool_cls = (
+            futures.ProcessPoolExecutor
+            if self.worker_mode == "process"
+            else futures.ThreadPoolExecutor
+        )
 
         def producer():
-            with futures.ThreadPoolExecutor(self.num_workers) as pool:
+            with pool_cls(self.num_workers) as pool:
                 for batch_idx in batches:
                     if stop.is_set():
                         break
-                    items = list(pool.map(self._load_one, [self.pairs[i] for i in batch_idx]))
+                    items = list(
+                        pool.map(
+                            self._load_one,
+                            [self.pairs[i] for i in batch_idx],
+                            chunksize=max(1, len(batch_idx) // self.num_workers),
+                        )
+                        if self.worker_mode == "process"
+                        else pool.map(self._load_one, [self.pairs[i] for i in batch_idx])
+                    )
                     surface = np.stack([s for s, _ in items])
                     overhead = np.stack([o for _, o in items])
                     out_q.put(
