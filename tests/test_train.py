@@ -152,3 +152,30 @@ def test_baseline_orientation_maps_smoke(tmp_path):
     data = {k: batch[k] for k in ("surface", "overhead")}
     state, metrics = pipeline.train_step(state, data, _jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sigterm_checkpoints_and_stops(tmp_path):
+    """SIGTERM mid-training finishes the phase, checkpoints, returns; a rerun
+    resumes from the saved state (preemption safety the reference lacks)."""
+    import os
+    import signal
+    import threading
+
+    cfg = tiny_fov_cfg(tmp_path)
+    pipeline = make_pipeline(cfg)
+    train_loader = tiny_loader(n=8, batch=4, drop_last=True)
+    val_loader = tiny_loader(n=4, batch=4)
+
+    timer = threading.Timer(0.1, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    state = run_train(
+        cfg, pipeline, train_loader, val_loader, num_epochs=50,
+        verbose=False, handle_signals=True,
+    )
+    timer.cancel()
+    steps_done = int(state.step)
+    assert 0 < steps_done < 100  # stopped well before 50 epochs
+    ckpt = Checkpointer(cfg.train.checkpoint_dir)
+    assert ckpt.exists("latest")
+    # default SIGTERM disposition restored
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.default_int_handler)

@@ -71,6 +71,7 @@ def run_train(
         return loop.train(
             cfg, pipeline, train_loader, val_loader,
             num_epochs=num_epochs, checkpointer=ckpt, writer=writer,
+            handle_signals=True,
         )
 
 

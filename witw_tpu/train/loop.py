@@ -41,8 +41,11 @@ def run_phase(
     log_every: int = 1,
     mesh=None,
     verbose: bool = True,
+    checkpointer: Optional[Checkpointer] = None,
+    save_every_steps: int = 0,
 ) -> tuple:
-    """One pass over a loader; returns (state, avg_loss, count)."""
+    """One pass over a loader; returns (state, avg_loss, count).
+    ``save_every_steps`` > 0 writes mid-epoch step checkpoints (train phase)."""
     from witw_tpu.utils.profiling import StepTimer
 
     phase = "train" if train else "val"
@@ -61,6 +64,12 @@ def run_phase(
         rng, step_rng = jax.random.split(rng)
         if train:
             state, metrics = pipeline.train_step(state, batch, step_rng)
+            if (
+                checkpointer is not None
+                and save_every_steps > 0
+                and (batch_i + 1) % save_every_steps == 0
+            ):
+                checkpointer.save_step(state, int(state.step), {"epoch": epoch})
         else:
             metrics = pipeline.eval_step(state, batch, step_rng)
         losses.append((metrics["loss"], count, batch_i))
@@ -111,7 +120,12 @@ def train(
     checkpointer: Optional[Checkpointer] = None,
     writer: Optional[MetricWriter] = None,
     verbose: bool = True,
+    handle_signals: bool = False,
 ) -> TrainState:
+    """``handle_signals=True`` installs a SIGTERM/SIGINT handler that finishes
+    the current phase, checkpoints, and returns — preemption-safe training the
+    reference has no story for (SURVEY.md §5.3; a crash there loses the
+    epoch)."""
     rng = jax.random.PRNGKey(cfg.train.seed)
     rng, init_rng = jax.random.split(rng)
     state = pipeline.init(init_rng)
@@ -127,31 +141,60 @@ def train(
         if verbose:
             print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
 
-    best_loss = checkpointer.best_val_loss()
-    epochs = num_epochs if num_epochs is not None else cfg.train.num_epochs
-    for epoch in range(start_epoch, epochs):
-        if verbose:
-            print(f"Epoch {epoch + 1}, {time.ctime()}")
-        rng, tr_rng, val_rng = jax.random.split(rng, 3)
-        state, _, _ = run_phase(
-            pipeline, state, train_loader, tr_rng, True, epoch,
-            writer, cfg.train.log_every_steps, mesh, verbose,
-        )
-        _, val_loss, _ = run_phase(
-            pipeline, state, val_loader, val_rng, False, epoch,
-            writer, cfg.train.log_every_steps, mesh, verbose,
-        )
-        checkpointer.save_step(state, int(state.step), {"epoch": epoch + 1})
-        if best_loss is None or val_loss < best_loss:
+    interrupted = {"flag": False}
+    old_handlers = {}
+    if handle_signals:
+        import signal
+
+        def on_signal(signum, frame):
+            interrupted["flag"] = True
             if verbose:
-                print("-------> new best")
-            best_loss = val_loss
-            checkpointer.save_best(state, val_loss, int(state.step))
-            if writer is not None:
-                writer.text(
-                    "best_loss", f"new best loss: {best_loss}, epoch: {epoch + 1}"
-                )
-    return state
+                print(f"signal {signum}: checkpointing at next phase boundary")
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            old_handlers[sig] = signal.signal(sig, on_signal)
+
+    try:
+        best_loss = checkpointer.best_val_loss()
+        epochs = num_epochs if num_epochs is not None else cfg.train.num_epochs
+        for epoch in range(start_epoch, epochs):
+            if verbose:
+                print(f"Epoch {epoch + 1}, {time.ctime()}")
+            rng, tr_rng, val_rng = jax.random.split(rng, 3)
+            state, _, _ = run_phase(
+                pipeline, state, train_loader, tr_rng, True, epoch,
+                writer, cfg.train.log_every_steps, mesh, verbose,
+                checkpointer=checkpointer,
+                save_every_steps=cfg.train.save_every_steps,
+            )
+            if interrupted["flag"]:
+                checkpointer.save_step(state, int(state.step), {"epoch": epoch})
+                if verbose:
+                    print("interrupted: state checkpointed (epoch incomplete)")
+                return state
+            _, val_loss, _ = run_phase(
+                pipeline, state, val_loader, val_rng, False, epoch,
+                writer, cfg.train.log_every_steps, mesh, verbose,
+            )
+            checkpointer.save_step(state, int(state.step), {"epoch": epoch + 1})
+            if best_loss is None or val_loss < best_loss:
+                if verbose:
+                    print("-------> new best")
+                best_loss = val_loss
+                checkpointer.save_best(state, val_loss, int(state.step))
+                if writer is not None:
+                    writer.text(
+                        "best_loss", f"new best loss: {best_loss}, epoch: {epoch + 1}"
+                    )
+            if interrupted["flag"]:
+                return state
+        return state
+    finally:
+        if handle_signals:
+            import signal
+
+            for sig, handler in old_handlers.items():
+                signal.signal(sig, handler)
 
 
 def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=False):
