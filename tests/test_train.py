@@ -166,7 +166,7 @@ def test_sigterm_checkpoints_and_stops(tmp_path):
     train_loader = tiny_loader(n=8, batch=4, drop_last=True)
     val_loader = tiny_loader(n=4, batch=4)
 
-    timer = threading.Timer(0.1, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer = threading.Timer(0.5, lambda: os.kill(os.getpid(), signal.SIGTERM))
     timer.start()
     state = run_train(
         cfg, pipeline, train_loader, val_loader, num_epochs=50,

@@ -126,6 +126,21 @@ def train(
     the current phase, checkpoints, and returns — preemption-safe training the
     reference has no story for (SURVEY.md §5.3; a crash there loses the
     epoch)."""
+    # Install signal handlers before any compile/restore work so an early
+    # preemption is still caught.
+    interrupted = {"flag": False}
+    old_handlers = {}
+    if handle_signals:
+        import signal
+
+        def on_signal(signum, frame):
+            interrupted["flag"] = True
+            if verbose:
+                print(f"signal {signum}: checkpointing at next phase boundary")
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            old_handlers[sig] = signal.signal(sig, on_signal)
+
     rng = jax.random.PRNGKey(cfg.train.seed)
     rng, init_rng = jax.random.split(rng)
     state = pipeline.init(init_rng)
@@ -140,19 +155,6 @@ def train(
         start_epoch = int(meta.get("epoch", 0))
         if verbose:
             print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
-
-    interrupted = {"flag": False}
-    old_handlers = {}
-    if handle_signals:
-        import signal
-
-        def on_signal(signum, frame):
-            interrupted["flag"] = True
-            if verbose:
-                print(f"signal {signum}: checkpointing at next phase boundary")
-
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            old_handlers[sig] = signal.signal(sig, on_signal)
 
     try:
         best_loss = checkpointer.best_val_loss()
