@@ -3,7 +3,7 @@
 
 North-star metric (BASELINE.json): image pairs/sec/chip for the FOV-DSM
 embed+match path at CVUSA geometry — both towers' forward (surface 128x512,
-overhead polar-transformed on device from a 256^2 tile, batch 64) plus the
+overhead polar-transformed on device from a 256^2 tile, batch 128) plus the
 full in-batch circular correlation + orientation-aligned chord distance.
 
 Measurement notes:
@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 V100_REFERENCE_PAIRS_PER_SEC = 300.0  # documented estimate, see module docstring
-BATCH = 64
+BATCH = 128
 SCAN_STEPS = 4
 REPS = 3
 
@@ -103,7 +103,7 @@ def main():
                 "metric": (
                     "embed+match image pairs/sec/chip "
                     "(FOV-DSM twin towers + circular correlation + chord distance, "
-                    "CVUSA geometry, batch 64, device-side, hoist-proof varying inputs)"
+                    "CVUSA geometry, batch 128, device-side, hoist-proof varying inputs)"
                 ),
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
