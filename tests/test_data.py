@@ -173,3 +173,33 @@ def test_convert_baseline_state_dict():
     assert params["conv1"]["kernel"].shape == (4, 4, 3, 64)
     assert params["bn3"]["scale"].shape == (256,)
     assert stats["bn7"]["var"].shape == (512,)
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    """Experiment configs round-trip through YAML exactly."""
+    from witw_tpu.configs import baseline_experiment, fov_experiment, semantic_experiment
+    from witw_tpu.configs.serialize import load_config, save_config
+
+    for cfg in (fov_experiment(fov=90), baseline_experiment("witw"), semantic_experiment()):
+        path = str(tmp_path / "cfg.yaml")
+        save_config(cfg, path)
+        back = load_config(path)
+        assert back == cfg
+
+
+def test_loader_skip_errors(tmp_path):
+    """skip_errors substitutes zero images for unreadable files."""
+    csv_path = write_synthetic_dataset(str(tmp_path), n=2, schema="cvusa",
+                                       surface_hw=(16, 32), overhead_hw=(16, 16))
+    pairs = read_pair_paths(DATASETS["cvusa"], csv_path)
+    bad = [(str(tmp_path / "missing.jpg"), pairs[0][1])] + list(pairs)
+    strict = PairLoader(bad, batch_size=3, surface_hw=(16, 32), overhead_hw=(16, 16),
+                        num_workers=1, worker_mode="thread")
+    with pytest.raises(Exception):
+        list(strict)
+    lenient = PairLoader(bad, batch_size=3, surface_hw=(16, 32), overhead_hw=(16, 16),
+                         num_workers=1, worker_mode="thread", skip_errors=True)
+    batch = next(iter(lenient))
+    assert batch["surface"].shape == (3, 16, 32, 3)
+    assert np.all(batch["surface"][0] == 0)
+    assert not np.all(batch["surface"][1] == 0)

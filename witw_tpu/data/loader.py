@@ -102,11 +102,14 @@ class PairLoader:
         prefetch: int = 2,
         dtype=np.uint8,
         worker_mode: Optional[str] = None,
+        skip_errors: bool = False,
     ):
         """``dtype=uint8`` (default) quarters pickle + host->device traffic —
         the device pipeline upcasts anyway. ``worker_mode``: 'process'
         (default on multi-core hosts; image decode in CPython is GIL-bound so
-        threads don't scale) or 'thread'."""
+        threads don't scale) or 'thread'. ``skip_errors`` substitutes a zero
+        image for unreadable files instead of raising (long-running jobs on
+        scraped data shouldn't die on one corrupt download)."""
         self.pairs = list(pairs)
         self.batch_size = batch_size
         self.surface_hw = surface_hw
@@ -121,6 +124,7 @@ class PairLoader:
         if worker_mode is None:
             worker_mode = "process" if (os.cpu_count() or 1) > 2 else "thread"
         self.worker_mode = worker_mode
+        self.skip_errors = skip_errors
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -130,8 +134,14 @@ class PairLoader:
         return -(-n // self.batch_size)
 
     def _load_one(self, pair: Tuple[str, str]) -> Tuple[np.ndarray, np.ndarray]:
-        surface = decode_image(pair[0])
-        overhead = decode_image(pair[1])
+        try:
+            surface = decode_image(pair[0])
+            overhead = decode_image(pair[1])
+        except Exception:
+            if not self.skip_errors:
+                raise
+            surface = np.zeros((*self.surface_hw, self.channels), np.float32)
+            overhead = np.zeros((*self.overhead_hw, self.channels), np.float32)
         surface = resize_host(surface, *self.surface_hw)
         overhead = resize_host(overhead, *self.overhead_hw)
         surface = _fix_channels(surface, self.channels)
@@ -166,28 +176,32 @@ class PairLoader:
         )
 
         def producer():
-            with pool_cls(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        break
-                    items = list(
-                        pool.map(
-                            self._load_one,
-                            [self.pairs[i] for i in batch_idx],
-                            chunksize=max(1, len(batch_idx) // self.num_workers),
+            try:
+                with pool_cls(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(
+                            pool.map(
+                                self._load_one,
+                                [self.pairs[i] for i in batch_idx],
+                                chunksize=max(1, len(batch_idx) // self.num_workers),
+                            )
+                            if self.worker_mode == "process"
+                            else pool.map(self._load_one, [self.pairs[i] for i in batch_idx])
                         )
-                        if self.worker_mode == "process"
-                        else pool.map(self._load_one, [self.pairs[i] for i in batch_idx])
-                    )
-                    surface = np.stack([s for s, _ in items])
-                    overhead = np.stack([o for _, o in items])
-                    out_q.put(
-                        {
-                            "surface": surface,
-                            "overhead": overhead,
-                            "idx": np.asarray(batch_idx, np.int32),
-                        }
-                    )
+                        surface = np.stack([s for s, _ in items])
+                        overhead = np.stack([o for _, o in items])
+                        out_q.put(
+                            {
+                                "surface": surface,
+                                "overhead": overhead,
+                                "idx": np.asarray(batch_idx, np.int32),
+                            }
+                        )
+            except BaseException as err:  # propagate to the consumer
+                out_q.put(err)
+                return
             out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
@@ -197,9 +211,14 @@ class PairLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # Drain so a blocked producer can observe the stop flag.
+            while not out_q.empty():
+                out_q.get_nowait()
 
 
 def _fix_channels(img: np.ndarray, channels: int) -> np.ndarray:
