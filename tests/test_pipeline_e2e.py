@@ -144,8 +144,16 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
 
     csv_path = str(tmp_path / "match.csv")
     bounds = (e0 + 30, n0 - 330, e0 + 330, n0 - 30)
+    cache = str(tmp_path / "tiles.npz")
     frame = sweep(sat_path, photo_path, csv_path, bounds,
-                  edge=225.0, offset=112.5, fov=70, state=state, verbose=False)
+                  edge=225.0, offset=112.5, fov=70, state=state,
+                  index_cache=cache, verbose=False)
+    assert os.path.exists(cache)
+    # second sweep hits the embedding cache and reproduces the scores
+    frame2 = sweep(sat_path, photo_path, csv_path, bounds,
+                   edge=225.0, offset=112.5, fov=70, state=state,
+                   index_cache=cache, verbose=False)
+    np.testing.assert_allclose(frame2["score"], frame["score"], rtol=1e-6)
     assert set(frame.columns) == {"x", "y", "orientation", "dissimilarity", "score"}
     assert len(frame) >= 4
     assert np.all(np.isfinite(frame["score"]))

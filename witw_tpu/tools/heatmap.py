@@ -57,8 +57,13 @@ def sweep(
     tag: Optional[str] = None,
     batch_size: int = 64,
     state=None,
+    index_cache: Optional[str] = None,
     verbose: bool = True,
 ) -> pd.DataFrame:
+    """``index_cache``: optional .npz path; when set, the embedded tile
+    gallery (a GalleryIndex with tile centers) is loaded from/saved to it so
+    repeated sweeps of the same area skip tile extraction + embedding — the
+    reference re-embeds every tile on every sweep (heatmap.py:159-168)."""
     import jax
 
     from witw_tpu.data.loader import decode_image, resize_host
@@ -77,16 +82,31 @@ def sweep(
         )
         state = ckpt.restore("best", pipeline.init(jax.random.PRNGKey(0)))
 
-    # --- tile grid + windowed reads ---
+    from witw_tpu.evaluation.index import GalleryIndex
+
+    # --- tile grid ---
     centers_e, centers_n, windows = window_grid(bounds, edge, offset)
-    sat = GeoTiff(sat_path)
-    tiles = np.zeros(
-        (len(windows), d.overhead_size, d.overhead_size, 3), np.float32
-    )
-    for i, (ulx, uly, lrx, lry) in enumerate(windows):
-        tile = sat.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
-        tiles[i] = resample(tile[..., :3], d.overhead_size, d.overhead_size)
-    sat.close()
+    n = len(windows)
+
+    cached_index = None
+    if index_cache and os.path.exists(index_cache):
+        cached_index = GalleryIndex.load(index_cache)
+        if len(cached_index) != len(windows) or not np.allclose(
+            cached_index.meta.get("x", []), centers_e
+        ):
+            cached_index = None  # stale cache for a different grid
+
+    tiles = None
+    if cached_index is None:
+        # --- windowed tile reads from the strip ---
+        sat = GeoTiff(sat_path)
+        tiles = np.zeros(
+            (len(windows), d.overhead_size, d.overhead_size, 3), np.float32
+        )
+        for i, (ulx, uly, lrx, lry) in enumerate(windows):
+            tile = sat.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
+            tiles[i] = resample(tile[..., :3], d.overhead_size, d.overhead_size)
+        sat.close()
 
     # --- query photo ---
     photo = decode_image(photo_path)
@@ -110,19 +130,25 @@ def sweep(
         return pipeline.overhead_model.apply({"params": params["overhead"]}, polar)
 
     s_emb = np.asarray(embed_surface(state.params, jnp.asarray(photo)))
-    o_parts = []
-    n = len(tiles)
-    pad_n = -(-n // batch_size) * batch_size
-    tiles_padded = np.concatenate(
-        [tiles, np.zeros((pad_n - n, *tiles.shape[1:]), np.float32)]
-    )
-    for start in range(0, pad_n, batch_size):
-        o_parts.append(
-            np.asarray(
-                embed_overhead(state.params, jnp.asarray(tiles_padded[start : start + batch_size]))
-            )
+    if cached_index is not None:
+        o_emb = cached_index.embeds
+    else:
+        o_parts = []
+        pad_n = -(-n // batch_size) * batch_size
+        tiles_padded = np.concatenate(
+            [tiles, np.zeros((pad_n - n, *tiles.shape[1:]), np.float32)]
         )
-    o_emb = np.concatenate(o_parts)[:n]
+        for start in range(0, pad_n, batch_size):
+            o_parts.append(
+                np.asarray(
+                    embed_overhead(state.params, jnp.asarray(tiles_padded[start : start + batch_size]))
+                )
+            )
+        o_emb = np.concatenate(o_parts)[:n]
+        if index_cache:
+            GalleryIndex(
+                o_emb, meta={"x": centers_e, "y": centers_n}
+            ).save(index_cache)
 
     # --- one-query correlation + distance over the whole tile gallery ---
     from witw_tpu.match.correlation import circular_correlation
@@ -178,13 +204,16 @@ def main(argv=None):
     parser.add_argument("-l", "--layerpath", default="./satlayer.tiff")
     parser.add_argument("-i", "--image", action="store_true")
     parser.add_argument("--weights", default="./weights")
+    parser.add_argument("--index-cache", default=None,
+                        help="npz path caching the embedded tile gallery between sweeps")
     args = parser.parse_args(argv)
     from witw_tpu.tools.cities import CITIES
 
     name = [c.name for c in CITIES.values() if c.index == args.aoi][0]
     sat_path = os.path.join(args.satdir, strip_filename(name))
     sweep(sat_path, args.photopath, args.csvpath, args.bounds,
-          args.edge, args.offset, args.fov, checkpoint_dir=args.weights)
+          args.edge, args.offset, args.fov, checkpoint_dir=args.weights,
+          index_cache=args.index_cache)
     if args.image:
         layer(sat_path, args.bounds, args.layerpath)
 
