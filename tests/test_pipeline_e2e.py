@@ -143,7 +143,7 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
     state = pipeline.init(jax.random.PRNGKey(0))
 
     csv_path = str(tmp_path / "match.csv")
-    bounds = (e0 + 30, n0 - 330, e0 + 330, n0 - 30)
+    bounds = (e0 + 30, n0 - 250, e0 + 250, n0 - 30)
     cache = str(tmp_path / "tiles.npz")
     frame = sweep(sat_path, photo_path, csv_path, bounds,
                   edge=225.0, offset=112.5, fov=70, state=state,

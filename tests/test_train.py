@@ -120,9 +120,9 @@ def test_baseline_train_smoke(tmp_path):
                           checkpoint_dir=str(tmp_path / "ckpt")),
     )
     pipeline = make_pipeline(cfg)
-    loader = tiny_loader(n=4, batch=2, surface_hw=(500, 500), overhead_hw=(500, 500))
+    loader = tiny_loader(n=4, batch=2, surface_hw=(384, 384), overhead_hw=(384, 384))
     rng = jax.random.PRNGKey(0)
-    state = pipeline.init(rng, surface_hw=(500, 500), overhead_hw=(500, 500))
+    state = pipeline.init(rng, surface_hw=(384, 384), overhead_hw=(384, 384))
     state, metrics = None or (state, None)
     for batch in loader:
         data = {k: batch[k] for k in ("surface", "overhead")}
@@ -145,9 +145,9 @@ def test_baseline_orientation_maps_smoke(tmp_path):
     )
     pipeline = make_pipeline(cfg)
     import jax as _jax
-    state = pipeline.init(_jax.random.PRNGKey(0), surface_hw=(500, 500), overhead_hw=(500, 500))
+    state = pipeline.init(_jax.random.PRNGKey(0), surface_hw=(384, 384), overhead_hw=(384, 384))
     assert state.params["surface"]["conv1"]["kernel"].shape[2] == 5
-    loader = tiny_loader(n=2, batch=2, surface_hw=(500, 500), overhead_hw=(500, 500))
+    loader = tiny_loader(n=2, batch=2, surface_hw=(384, 384), overhead_hw=(384, 384))
     batch = next(iter(loader))
     data = {k: batch[k] for k in ("surface", "overhead")}
     state, metrics = pipeline.train_step(state, data, _jax.random.PRNGKey(1))

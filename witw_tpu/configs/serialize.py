@@ -39,22 +39,6 @@ def config_to_dict(cfg: ExperimentConfig) -> dict:
     return _to_plain(cfg)
 
 
-def _build(cls, data: dict):
-    kwargs = {}
-    for f in dataclasses.fields(cls):
-        if f.name not in data:
-            continue
-        val = data[f.name]
-        if dataclasses.is_dataclass(f.type) or f.type in (
-            DatasetConfig, OptimConfig, TrainConfig, EvalConfig, MatchConfig, MeshConfig
-        ):
-            # typed sub-configs handled explicitly below
-            kwargs[f.name] = val
-        else:
-            kwargs[f.name] = val
-    return cls(**kwargs)
-
-
 def config_from_dict(data: dict) -> ExperimentConfig:
     def tup(x):
         return tuple(x) if isinstance(x, list) else x

@@ -23,7 +23,6 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from witw_tpu.configs.base import DataConfig
 
 
 def decode_image(path: str) -> np.ndarray:

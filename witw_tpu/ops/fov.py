@@ -24,6 +24,6 @@ def fov_crop(surface: jax.Array, starts: jax.Array, width: int) -> jax.Array:
 
     surface: [B, H, W_max, C] NHWC. starts: int [B]. Returns [B, H, width, C].
     """
-    b, h, w_max, c = surface.shape
+    w_max = surface.shape[2]
     cols = (starts[:, None] + jnp.arange(width)[None, :]) % w_max  # [B, width]
     return jnp.take_along_axis(surface, cols[:, None, :, None], axis=2)

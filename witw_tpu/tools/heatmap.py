@@ -67,8 +67,6 @@ def sweep(
     import jax
 
     from witw_tpu.data.loader import decode_image, resize_host
-    from witw_tpu.evaluation.gallery import FovGalleryEvaluator
-    from witw_tpu.match.distance import window_sq_norms
     from witw_tpu.train.checkpoint import Checkpointer
     from witw_tpu.train.pipeline import make_pipeline
     import jax.numpy as jnp
