@@ -165,4 +165,6 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
     layer_path = str(tmp_path / "layer.tif")
     layer(sat_path, bounds, layer_path)
     with gt.GeoTiff(layer_path) as out:
-        assert out.width == 1000 and out.height == 1000  # 300 m / 0.3
+        want_px = round((bounds[2] - bounds[0]) / 0.3)
+        assert abs(out.width - want_px) <= 1
+        assert abs(out.height - round((bounds[3] - bounds[1]) / 0.3)) <= 1
