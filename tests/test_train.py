@@ -179,3 +179,18 @@ def test_sigterm_checkpoints_and_stops(tmp_path):
     assert ckpt.exists("latest")
     # default SIGTERM disposition restored
     assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.default_int_handler)
+
+
+def test_checkpointer_retention(tmp_path):
+    """step_N checkpoints are garbage-collected beyond `keep`."""
+    import jax.numpy as jnp
+
+    ckpt = Checkpointer(str(tmp_path), keep=2)
+    state = {"w": jnp.zeros((2,))}
+    for step in (1, 2, 3, 4):
+        ckpt.save_step(state, step)
+    assert not ckpt.exists("step_1") and not ckpt.exists("step_2")
+    assert ckpt.exists("step_3") and ckpt.exists("step_4")
+    assert ckpt.exists("latest")
+    meta = ckpt.meta("latest")
+    assert meta["step"] == 4
