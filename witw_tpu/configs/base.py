@@ -107,6 +107,20 @@ class FovDsmModelConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SafaModelConfig:
+    """VGG16+SAFA global-embedding towers (Shi et al. NeurIPS 2019; the
+    tower family BASELINE.json's benchmark configs name for the baseline
+    model line)."""
+
+    kind: str = "vgg_safa"
+    in_channels: int = 3
+    num_heads: int = 8
+    reduction: int = 2
+    freeze_backbone: bool = True
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
 class MatchConfig:
     """Orientation alignment + distance settings (reference cvig_fov.py:297-382)."""
 

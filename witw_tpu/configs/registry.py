@@ -19,6 +19,7 @@ from witw_tpu.configs.base import (
     FovDsmModelConfig,
     MatchConfig,
     OptimConfig,
+    SafaModelConfig,
     TrainConfig,
 )
 
@@ -108,6 +109,20 @@ def semantic_experiment(dataset: str = "witw", fov: int = 360, **overrides) -> E
     cfg = ExperimentConfig(
         data=data,
         model=FovDsmModelConfig(in_channels=5, train_first_conv=True),
+        match=MatchConfig(alpha=10.0),
+        train=TrainConfig(batch_size=32, optim=OptimConfig(learning_rate=1e-5)),
+        eval=EvalConfig(batch_size=32),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def safa_experiment(dataset: str = "cvusa", fov: int = 360, **overrides) -> ExperimentConfig:
+    """VGG16+SAFA preset (BASELINE.json config 1's tower family): global
+    embeddings matched by Euclidean distance, polar-aligned aerial branch."""
+    data = DataConfig(dataset=dataset_config(dataset), fov=fov)
+    cfg = ExperimentConfig(
+        data=data,
+        model=SafaModelConfig(),
         match=MatchConfig(alpha=10.0),
         train=TrainConfig(batch_size=32, optim=OptimConfig(learning_rate=1e-5)),
         eval=EvalConfig(batch_size=32),

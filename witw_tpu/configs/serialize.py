@@ -13,6 +13,7 @@ from typing import Any
 
 from witw_tpu.configs.base import (
     BaselineModelConfig,
+    SafaModelConfig,
     DataConfig,
     DatasetConfig,
     EvalConfig,
@@ -24,7 +25,7 @@ from witw_tpu.configs.base import (
     TrainConfig,
 )
 
-_MODEL_KINDS = {"baseline": BaselineModelConfig, "fov_dsm": FovDsmModelConfig}
+_MODEL_KINDS = {"baseline": BaselineModelConfig, "fov_dsm": FovDsmModelConfig, "vgg_safa": SafaModelConfig}
 
 
 def _to_plain(obj: Any) -> Any:

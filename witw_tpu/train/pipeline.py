@@ -20,7 +20,12 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from witw_tpu.configs.base import ExperimentConfig, BaselineModelConfig, FovDsmModelConfig
+from witw_tpu.configs.base import (
+    BaselineModelConfig,
+    ExperimentConfig,
+    FovDsmModelConfig,
+    SafaModelConfig,
+)
 from witw_tpu.match.correlation import circular_correlation
 from witw_tpu.match.distance import chord_distance
 from witw_tpu.match.losses import dsm_triplet_loss, exhaustive_minibatch_triplet_loss
@@ -291,9 +296,99 @@ class BaselinePipeline:
         return s_emb, o_emb
 
 
+class SafaPipeline:
+    """VGG16+SAFA global-embedding pipeline (BASELINE.json's baseline-family
+    tower description): FOV-style preprocessing (crop/normalize/polar), twin
+    SAFA towers emitting unit vectors, soft-margin triplet loss on the
+    in-batch Euclidean distance matrix; plain Euclidean retrieval eval."""
+
+    def __init__(self, cfg: ExperimentConfig):
+        assert isinstance(cfg.model, SafaModelConfig)
+        self.cfg = cfg
+        from witw_tpu.models.safa import VggSafa
+
+        self.surface_model = VggSafa(cfg.model, circ_padding=False)
+        self.overhead_model = VggSafa(cfg.model, circ_padding=True)
+        self._tx: Optional[optax.GradientTransformation] = None
+
+    def init(self, rng: jax.Array) -> TrainState:
+        d = self.cfg.data
+        sw = d.surface_width
+        k1, k2 = jax.random.split(rng)
+        v_s = self.surface_model.init(k1, jnp.zeros((1, d.surface_height, sw, d.channels)))
+        v_o = self.overhead_model.init(
+            k2, jnp.zeros((1, d.surface_height, d.surface_width_max, d.channels))
+        )
+        params = {"surface": v_s["params"], "overhead": v_o["params"]}
+        tx = self.optimizer(params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats={},
+            opt_state=tx.init(params),
+        )
+
+    def optimizer(self, params) -> optax.GradientTransformation:
+        if self._tx is None:
+            from witw_tpu.models.safa import safa_trainable_mask
+
+            mask = {
+                "surface": safa_trainable_mask(params["surface"], self.cfg.model),
+                "overhead": safa_trainable_mask(params["overhead"], self.cfg.model),
+            }
+            labels = jax.tree.map(lambda t: "train" if t else "freeze", mask)
+            self._tx = optax.multi_transform(
+                {"train": _adam(self.cfg), "freeze": optax.set_to_zero()}, labels
+            )
+        return self._tx
+
+    # SAFA shares the FOV family's preprocessing (crop -> normalize; polar
+    # overhead supplies the rough alignment the global embedding relies on).
+    _preprocess = FovPipeline._preprocess
+
+    def _forward_loss(self, params, batch, rng, train: bool):
+        crop_rng, _ = jax.random.split(rng)
+        surface, polar = self._preprocess(batch, crop_rng, train)
+        s_emb = self.surface_model.apply({"params": params["surface"]}, surface, train=train)
+        o_emb = self.overhead_model.apply({"params": params["overhead"]}, polar, train=train)
+        from witw_tpu.match.losses import pairwise_sq_distances
+
+        d2 = pairwise_sq_distances(o_emb, s_emb)  # [B_o, B_s]
+        loss = dsm_triplet_loss(d2, alpha=self.cfg.match.alpha)
+        return loss, (s_emb, o_emb)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch, rng):
+        def loss_fn(params):
+            loss, _ = self._forward_loss(params, batch, rng, train=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        tx = self.optimizer(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), {
+            "loss": loss
+        }
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, batch, rng):
+        loss, _ = self._forward_loss(state.params, batch, rng, train=False)
+        return {"loss": loss}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def embed_step(self, state: TrainState, batch):
+        surface, polar = self._preprocess(batch, jax.random.PRNGKey(0), train=False)
+        s_emb = self.surface_model.apply({"params": state.params["surface"]}, surface)
+        o_emb = self.overhead_model.apply({"params": state.params["overhead"]}, polar)
+        return s_emb, o_emb
+
+
 def make_pipeline(cfg: ExperimentConfig):
     if isinstance(cfg.model, FovDsmModelConfig):
         return FovPipeline(cfg)
     if isinstance(cfg.model, BaselineModelConfig):
         return BaselinePipeline(cfg)
+    if isinstance(cfg.model, SafaModelConfig):
+        return SafaPipeline(cfg)
     raise TypeError(f"unknown model config: {type(cfg.model)}")
