@@ -1,0 +1,49 @@
+"""Data-parallel correctness: a batch-sharded train step over the 8-device
+CPU mesh must produce the same parameters as the single-device step (GSPMD
+inserts the gradient psum; SURVEY.md §2.4's DP design)."""
+
+import numpy as np
+import jax
+import pytest
+
+from witw_tpu.parallel import make_mesh, shard_batch, global_batch_from_local
+from witw_tpu.train import make_pipeline
+from tests.test_train import tiny_fov_cfg, tiny_loader
+
+
+def test_dp_train_step_matches_single_device(tmp_path):
+    cfg = tiny_fov_cfg(tmp_path)
+    pipeline = make_pipeline(cfg)
+    rng = jax.random.PRNGKey(0)
+    state_single = pipeline.init(rng)
+    state_sharded = pipeline.init(rng)
+
+    mesh = make_mesh(n_data=8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state_sharded = jax.device_put(state_sharded, NamedSharding(mesh, P()))
+
+    loader = tiny_loader(n=8, batch=8)
+    batch = next(iter(loader))
+    data = {k: np.asarray(batch[k], np.float32) for k in ("surface", "overhead")}
+
+    step_rng = jax.random.PRNGKey(7)
+    s1, m1 = pipeline.train_step(state_single, dict(data), step_rng)
+    s2, m2 = pipeline.train_step(state_sharded, shard_batch(dict(data), mesh), step_rng)
+
+    assert np.allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    p1 = jax.tree.map(np.asarray, s1.params)
+    p2 = jax.tree.map(np.asarray, s2.params)
+    flat1 = jax.tree.leaves(p1)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_global_batch_from_local_single_process(tmp_path):
+    mesh = make_mesh(n_data=8)
+    batch = {"surface": np.zeros((8, 4, 4, 3), np.float32)}
+    out = global_batch_from_local(batch, mesh)
+    assert out["surface"].shape == (8, 4, 4, 3)
+    # batch axis sharded over the 8 devices
+    assert len(out["surface"].sharding.device_set) == 8

@@ -4,6 +4,8 @@ from witw_tpu.parallel.mesh import (
     replicated_sharding,
     gallery_sharding,
     shard_batch,
+    global_batch_from_local,
+    initialize_distributed,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "replicated_sharding",
     "gallery_sharding",
     "shard_batch",
+    "global_batch_from_local",
+    "initialize_distributed",
 ]
