@@ -202,17 +202,19 @@ def train(
 def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=False):
     """Embed a whole dataset; returns (surface_embeds, overhead_embeds) as
     numpy, preallocated (fixes the reference's O(N^2) torch.cat pattern,
-    cvig_fov.py:527-532)."""
+    cvig_fov.py:527-532). ``rng`` seeds the eval-time stochastic transforms
+    the reference applies (random crop heading / synced rotation), split per
+    batch."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     surfaces = []
     overheads = []
     for batch in loader:
         data = {k: v for k, v in batch.items() if k in ("surface", "overhead")}
         if mesh is not None:
             data = shard_batch(data, mesh)
-        if isinstance(pipeline, BaselinePipeline):
-            s_emb, o_emb = pipeline.embed_step(state, data, rng)
-        else:
-            s_emb, o_emb = pipeline.embed_step(state, data)
+        rng, step_rng = jax.random.split(rng)
+        s_emb, o_emb = pipeline.embed_step(state, data, step_rng)
         surfaces.append(np.asarray(s_emb))
         overheads.append(np.asarray(o_emb))
     return np.concatenate(surfaces), np.concatenate(overheads)

@@ -104,13 +104,17 @@ class FovPipeline:
         overhead = jnp.asarray(batch["overhead"], jnp.float32)
         if d.dataset.panorama:
             sw = d.surface_width
-            if train and d.random_orientation:
+            # The reference randomizes the crop origin at train AND eval time
+            # (Resize(random_orientation=True) in both train() and test(),
+            # cvig_fov.py:393,497) — retrieval is heading-agnostic. We keep
+            # that but drive it from a seeded rng.
+            if d.random_orientation:
                 starts = random_fov_starts(rng, surface.shape[0], d.surface_width_max)
             else:
                 starts = jnp.zeros((surface.shape[0],), jnp.int32)
             if sw < d.surface_width_max:
                 surface = fov_crop(surface, starts, sw)
-            elif train and d.random_orientation:
+            elif d.random_orientation:
                 # Full panorama: crop degenerates to a circular roll.
                 surface = fov_crop(surface, starts, d.surface_width_max)
         scale_ch = 3 if d.dataset.semantic else None
@@ -165,9 +169,12 @@ class FovPipeline:
         return {"loss": loss}
 
     @functools.partial(jax.jit, static_argnums=0)
-    def embed_step(self, state: TrainState, batch) -> Tuple[jax.Array, jax.Array]:
-        """Embed a batch for retrieval eval; deterministic (no crop rng)."""
-        surface, polar = self._preprocess(batch, jax.random.PRNGKey(0), train=False)
+    def embed_step(self, state: TrainState, batch, rng=None) -> Tuple[jax.Array, jax.Array]:
+        """Embed a batch for retrieval eval. Pass a (seeded) rng to reproduce
+        the reference's random-heading eval crops; None pins heading 0."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        surface, polar = self._preprocess(batch, rng, train=False)
         s_emb = self.surface_model.apply({"params": state.params["surface"]}, surface)
         o_emb = self.overhead_model.apply({"params": state.params["overhead"]}, polar)
         return s_emb, o_emb
@@ -377,8 +384,10 @@ class SafaPipeline:
         return {"loss": loss}
 
     @functools.partial(jax.jit, static_argnums=0)
-    def embed_step(self, state: TrainState, batch):
-        surface, polar = self._preprocess(batch, jax.random.PRNGKey(0), train=False)
+    def embed_step(self, state: TrainState, batch, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        surface, polar = self._preprocess(batch, rng, train=False)
         s_emb = self.surface_model.apply({"params": state.params["surface"]}, surface)
         o_emb = self.overhead_model.apply({"params": state.params["overhead"]}, polar)
         return s_emb, o_emb
