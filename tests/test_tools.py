@@ -254,7 +254,7 @@ def test_flickr_partition_and_scrape(tmp_path, rng):
     # duplicate one id across regions to exercise dedup
     photos.append(dict(photos[0]))
     api = make_stub_api(photos)
-    cfg = ScraperConfig(out_dir=str(tmp_path), max_per_box=20,
+    cfg = ScraperConfig(out_dir=str(tmp_path), max_per_box=20, time_delay=0.0,
                         cities={"paris": (2.2, 48.8, 2.4, 48.9)})
     boxes = partition_bboxes(cfg.cities["paris"], cfg, api)
     assert len(boxes) >= 3  # 50 photos / cap 20 forces splits
@@ -294,3 +294,27 @@ def test_download_local_and_replay(tmp_path):
         failures_path=str(tmp_path / "failed.txt"), fetch=fetch,
     )
     assert (n_ok, n_fail) == (1, 0)
+
+
+def test_bbox_area_guards():
+    """Area guards: oversized boxes split without counting; undersized boxes
+    never split (reference flickr_search.py:85-99)."""
+    from witw_tpu.tools.flickr.search import est_area_m2, partition_bboxes
+
+    # Paris-ish box ~ (0.2 deg x 0.1 deg) ~ 160 km^2
+    box = (2.2, 48.8, 2.4, 48.9)
+    assert 1.0e8 < est_area_m2(box) < 3.0e8
+
+    calls = []
+
+    def api(params, key, retries=3):
+        calls.append(params["bbox"])
+        return {"stat": "ok", "photos": {"total": 10_000, "pages": 1, "photo": []}}
+
+    # max_area below the box area forces one split before any API call.
+    cfg = ScraperConfig(max_per_box=100, time_delay=0.0, max_area_m2=1.0e8,
+                        min_area_m2=9.0e7)
+    boxes = partition_bboxes(box, cfg, api)
+    # children are at/below min_area -> kept despite total >= cap
+    assert len(boxes) == 2
+    assert len(calls) == 2  # never counted the oversized parent

@@ -44,6 +44,16 @@ class ScraperConfig:
     out_dir: str = "./flickr_out"
     lambda_name: Optional[str] = None  # AWS fan-out (reference :278-342), optional
     bucket: Optional[str] = None
+    # Area-guarded bisection + throttling (reference flickr_search.py:85-99:
+    # boxes above max_area split without querying; boxes below min_area stop
+    # splitting regardless of count; time_delay sleeps between API calls).
+    max_area_m2: float = 5.0e8
+    min_area_m2: float = 1.0e4
+    time_delay: float = 1.0
+    # Search filters (reference flickr_search.py:18-21).
+    privacy_filter: int = 1   # public only
+    content_type: int = 1     # photos only
+    geo_context: int = 0      # 0=all, 1=indoor, 2=outdoor
 
     @classmethod
     def from_yaml(cls, path: str) -> "ScraperConfig":

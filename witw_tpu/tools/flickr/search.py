@@ -54,15 +54,37 @@ def _api_call(params: Dict, api_key: str, retries: int = 3) -> Dict:
     raise RuntimeError(f"flickr API failed after {retries} tries: {last_err}")
 
 
+def est_area_m2(bbox: BBox, radius: float = 6.371e6) -> float:
+    """Spherical-cap estimate of a lon/lat box's area in m^2 (the bisection
+    guard metric, reference flickr_search.py:60-64)."""
+    import math
+
+    min_lon, min_lat, max_lon, max_lat = bbox
+    return (
+        radius**2
+        * math.radians(max_lon - min_lon)
+        * abs(math.sin(math.radians(max_lat)) - math.sin(math.radians(min_lat)))
+    )
+
+
+def _search_params(cfg: ScraperConfig) -> Dict:
+    return {
+        "method": "flickr.photos.search",
+        "license": ",".join(cfg.licenses),
+        "has_geo": 1,
+        "privacy_filter": cfg.privacy_filter,
+        "content_type": cfg.content_type,
+        "geo_context": cfg.geo_context,
+    }
+
+
 def count_in_bbox(bbox: BBox, cfg: ScraperConfig, api=_api_call) -> int:
     data = api(
-        {
-            "method": "flickr.photos.search",
-            "bbox": ",".join(f"{v:.6f}" for v in bbox),
-            "license": ",".join(cfg.licenses),
-            "has_geo": 1,
-            "per_page": 1,
-        },
+        dict(
+            _search_params(cfg),
+            bbox=",".join(f"{v:.6f}" for v in bbox),
+            per_page=1,
+        ),
         cfg.api_key,
     )
     return int(data["photos"]["total"])
@@ -78,16 +100,31 @@ def split_bbox(bbox: BBox) -> List[BBox]:
     return [(min_lon, min_lat, max_lon, mid), (min_lon, mid, max_lon, max_lat)]
 
 
-def partition_bboxes(bbox: BBox, cfg: ScraperConfig, api=_api_call, max_depth: int = 12) -> List[BBox]:
-    """Recursively split until each box is under the result cap."""
+def partition_bboxes(
+    bbox: BBox, cfg: ScraperConfig, api=_api_call, max_depth: int = 12,
+    throttle=None,
+) -> List[BBox]:
+    """Recursively split until each box is under the result cap, with the
+    reference's area guards (flickr_search.py:85-99): boxes above max_area
+    split without an API call; boxes below min_area never split; a throttle
+    sleeps between count queries."""
+    if throttle is None:
+        throttle = time.sleep if cfg.time_delay > 0 else (lambda s: None)
     out: List[BBox] = []
     stack = [(bbox, 0)]
     while stack:
         box, depth = stack.pop()
+        area = est_area_m2(box)
+        if area > cfg.max_area_m2 and depth < max_depth:
+            for child in split_bbox(box):
+                stack.append((child, depth + 1))
+            continue
+        throttle(cfg.time_delay)
         total = count_in_bbox(box, cfg, api)
-        if total < cfg.max_per_box or depth >= max_depth:
-            if total > 0:
-                out.append(box)
+        if total == 0:
+            continue
+        if total < cfg.max_per_box or area <= cfg.min_area_m2 or depth >= max_depth:
+            out.append(box)
         else:
             for child in split_bbox(box):
                 stack.append((child, depth + 1))
@@ -100,15 +137,13 @@ def collect_photos(bbox: BBox, cfg: ScraperConfig, api=_api_call) -> List[Dict]:
     page = 1
     while True:
         data = api(
-            {
-                "method": "flickr.photos.search",
-                "bbox": ",".join(f"{v:.6f}" for v in bbox),
-                "license": ",".join(cfg.licenses),
-                "has_geo": 1,
-                "extras": EXTRAS,
-                "per_page": cfg.per_page,
-                "page": page,
-            },
+            dict(
+                _search_params(cfg),
+                bbox=",".join(f"{v:.6f}" for v in bbox),
+                extras=EXTRAS,
+                per_page=cfg.per_page,
+                page=page,
+            ),
             cfg.api_key,
         )
         body = data["photos"]
