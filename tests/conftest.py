@@ -19,6 +19,9 @@ import jax
 # The axon TPU plugin's sitecustomize can override JAX_PLATFORMS; force the
 # CPU backend explicitly (config wins over the plugin).
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: repeat suite runs skip recompilation.
+jax.config.update("jax_compilation_cache_dir", "/tmp/witw_tpu_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

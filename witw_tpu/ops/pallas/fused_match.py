@@ -50,7 +50,8 @@ def _make_kernel(g_blk: int, w: int, hc: int, q: int, sw: int):
             o = o_ref[g]  # [W, hc]
 
             def body(k, corr):
-                o_rot = pltpu.roll(o, -k, 0)  # row i -> o[(i+k) mod W]
+                # positive-shift form of roll(o, -k): row i -> o[(i+k) mod W]
+                o_rot = pltpu.roll(o, (w - k) % w, 0)
                 s_k = s_ref[k]  # [Q, hc]
                 return corr + jax.lax.dot_general(
                     s_k, o_rot,
