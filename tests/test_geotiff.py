@@ -159,3 +159,148 @@ def test_world_window_read(tmp_path, lib, rng):
         # 10m x 10m window starting 5m into the raster = pixels [10:30, 10:30]
         tile = tif.read_world_window(1005.0, 1995.0, 1015.0, 1985.0)
         np.testing.assert_array_equal(tile, data[10:30, 10:30])
+
+
+# ---------------------------------------------------------------------------
+# Adversarial / corrupt-file hardening (files are downloaded content; the
+# native parser must fail cleanly, never crash: geotiff_io.cpp LZW table
+# bound, tag-count cap, chunk-size cap, try/catch at the C ABI).
+# ---------------------------------------------------------------------------
+
+import ctypes
+import struct
+
+
+def _find_tag(buf: bytes, code: int, ttype: int, count: int) -> int:
+    """Offset of a classic-TIFF LE IFD entry within buf, or -1."""
+    needle = struct.pack("<HHI", code, ttype, count)
+    return buf.find(needle)
+
+
+def _malicious_lzw_stream(n_codes: int) -> bytes:
+    """LZW stream of literal-0 codes with NO clear codes: a decoder that does
+    not bound its table writes entry 4096+ out of bounds."""
+    bits, next_code, first = 9, 258, True
+    acc, nbits, out = 0, 0, bytearray()
+    for _ in range(n_codes):
+        acc = (acc << bits) | 0  # literal code 0
+        nbits += bits
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        if first:
+            first = False
+        else:
+            next_code += 1
+            if next_code == (1 << bits) - 1 and bits < 12:
+                bits += 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _open_and_read(lib, path: str):
+    """Drive the native C ABI directly; returns (handle_ok, read_rc)."""
+    h = lib.gt_open(str(path).encode())
+    if not h:
+        return False, None
+    handle = ctypes.c_void_p(h)
+    w = lib.gt_width(handle)
+    hgt = lib.gt_height(handle)
+    bands = lib.gt_bands(handle)
+    w = min(max(int(w), 1), 64)
+    hgt = min(max(int(hgt), 1), 64)
+    buf = np.zeros((hgt, w, max(int(bands), 1)), np.uint16)
+    rc = lib.gt_read_window(
+        handle, 0, 0, w, hgt, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    )
+    lib.gt_close(handle)
+    return True, rc
+
+
+def test_lzw_table_overrun_rejected(tmp_path, lib, rng):
+    """An LZW stream that never sends clear codes would drive table writes
+    past entry 4095; the decoder must reject it, not corrupt the heap."""
+    data = rng.integers(0, 255, size=(64, 64, 1), dtype=np.uint8)
+    path = tmp_path / "evil_lzw.tif"
+    gt.write_geotiff_u8(str(path), data, compress=False)
+    raw = bytearray(path.read_bytes())
+
+    comp_at = _find_tag(raw, 259, 3, 1)
+    off_at = _find_tag(raw, 273, 4, 1)
+    cnt_at = _find_tag(raw, 279, 4, 1)
+    assert comp_at >= 0 and off_at >= 0 and cnt_at >= 0
+    struct.pack_into("<I", raw, comp_at + 8, 5)  # compression = LZW
+    strip_off = struct.unpack_from("<I", raw, off_at + 8)[0]
+    stream = _malicious_lzw_stream(4200)  # overruns a 4096-entry table
+    struct.pack_into("<I", raw, cnt_at + 8, len(stream))
+    raw = raw[:strip_off] + stream
+    path.write_bytes(bytes(raw))
+
+    opened, rc = _open_and_read(lib, path)
+    assert opened and rc != 0  # clean error, no crash
+
+
+def test_undefined_lzw_code_rejected(tmp_path, lib, rng):
+    """A code beyond next_code (undefined table entry) must be an error."""
+    data = rng.integers(0, 255, size=(8, 8, 1), dtype=np.uint8)
+    path = tmp_path / "evil_code.tif"
+    gt.write_geotiff_u8(str(path), data, compress=False)
+    raw = bytearray(path.read_bytes())
+    comp_at = _find_tag(raw, 259, 3, 1)
+    off_at = _find_tag(raw, 273, 4, 1)
+    cnt_at = _find_tag(raw, 279, 4, 1)
+    struct.pack_into("<I", raw, comp_at + 8, 5)
+    strip_off = struct.unpack_from("<I", raw, off_at + 8)[0]
+    # first 9-bit code = 400 (> next_code 258): 400 = 0b110010000
+    acc = 400 << 7  # left-align into 2 bytes
+    stream = bytes([acc >> 8 & 0xFF, acc & 0xFF])
+    struct.pack_into("<I", raw, cnt_at + 8, len(stream))
+    raw = raw[:strip_off] + stream
+    path.write_bytes(bytes(raw))
+    opened, rc = _open_and_read(lib, path)
+    assert opened and rc != 0
+
+
+def test_absurd_dimensions_rejected(tmp_path, lib, rng):
+    """Attacker-sized width/height products must not cause giant allocations
+    or overflow; open or read fails cleanly."""
+    data = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
+    path = tmp_path / "evil_dims.tif"
+    gt.write_geotiff_u8(str(path), data, compress=False)
+    raw = bytearray(path.read_bytes())
+    w_at = _find_tag(raw, 256, 4, 1)
+    h_at = _find_tag(raw, 257, 4, 1)
+    assert w_at >= 0 and h_at >= 0
+    struct.pack_into("<I", raw, w_at + 8, 0xFFFFFFF0)
+    struct.pack_into("<I", raw, h_at + 8, 0xFFFFFFF0)
+    path.write_bytes(bytes(raw))
+    opened, rc = _open_and_read(lib, path)
+    assert (not opened) or rc != 0
+
+
+def test_absurd_tag_count_rejected(tmp_path, lib, rng):
+    """A tag claiming 2^40 values must not allocate terabytes."""
+    data = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
+    path = tmp_path / "evil_count.tif"
+    gt.write_geotiff_u8(str(path), data, compress=False)
+    raw = bytearray(path.read_bytes())
+    # BitsPerSample (258, SHORT, count 3) -> claim a huge count
+    bps_at = _find_tag(raw, 258, 3, 3)
+    assert bps_at >= 0
+    struct.pack_into("<I", raw, bps_at + 4, 0xFFFFFFFF)
+    path.write_bytes(bytes(raw))
+    opened, rc = _open_and_read(lib, path)
+    # tag is skipped (read_tag_values fails) or the open fails; either way
+    # the process survives and no giant allocation happens
+    assert opened in (True, False)
+
+
+def test_truncated_file_rejected(tmp_path, lib, rng):
+    data = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    path = tmp_path / "trunc.tif"
+    gt.write_geotiff_u8(str(path), data, compress=True)
+    raw = path.read_bytes()
+    path.write_bytes(raw[: len(raw) // 2])
+    opened, rc = _open_and_read(lib, path)
+    assert (not opened) or rc != 0

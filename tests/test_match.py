@@ -142,7 +142,10 @@ def test_exhaustive_triplet_loss_oracle(rng, soft):
             ap = np.sum((p - a) ** 2, axis=1)
             an = np.sum((n - a) ** 2, axis=1)
             if soft:
-                total += np.sum(np.log1p(np.exp(alpha * (ap - an))))
+                # logaddexp(0, x) == log(1+exp(x)) without float overflow;
+                # the implementation uses the equivalent stable softplus
+                # (naive log1p(exp(x)) infs past x ~ 88 in float32)
+                total += np.sum(np.logaddexp(0.0, alpha * (ap - an)))
             else:
                 total += np.sum(np.maximum(ap - an + margin, 0))
     want = total / (2 * b * (b - 1))
@@ -170,3 +173,23 @@ def test_distance_gradients_flow(rng):
     assert np.all(np.isfinite(np.asarray(gs)))
     assert float(jnp.sum(jnp.abs(go))) > 0
     assert float(jnp.sum(jnp.abs(gs))) > 0
+
+
+def test_soft_margin_losses_finite_at_large_deltas(rng):
+    """alpha*delta >> 88 must not overflow to inf loss / NaN grads (the
+    reference's log(1+exp(.)) flaw; both losses use stable softplus)."""
+    from witw_tpu.match.losses import dsm_triplet_loss
+
+    # embeddings far apart -> squared distances in the hundreds
+    e1 = 20.0 * rng.standard_normal((4, 8)).astype(np.float32)
+    e2 = -20.0 * rng.standard_normal((4, 8)).astype(np.float32)
+    loss, grads = jax.value_and_grad(
+        lambda a, b: exhaustive_minibatch_triplet_loss(a, b, soft_margin=True)
+    )(jnp.asarray(e1), jnp.asarray(e2))
+    assert np.isfinite(float(loss))
+    assert np.all(np.isfinite(np.asarray(grads)))
+
+    d = jnp.asarray(100.0 * np.abs(rng.standard_normal((4, 4))), jnp.float32)
+    loss2, grad2 = jax.value_and_grad(dsm_triplet_loss)(d)
+    assert np.isfinite(float(loss2))
+    assert np.all(np.isfinite(np.asarray(grad2)))

@@ -40,10 +40,13 @@ def np_polar_oracle(overhead_chw, h_s, w_s):
     Ib = overhead_chw[:, y1c, x0c]
     Ic = overhead_chw[:, y0c, x1c]
     Id = overhead_chw[:, y1c, x1c]
-    wa = (x1 - x) * (y1 - y)
-    wb = (x1 - x) * (y - y0)
-    wc = (x - x0) * (y1 - y)
-    wd = (x - x0) * (y - y0)
+    # Reference computes weights from the CLIPPED indices (cvig_fov.py:168-183
+    # clips x0/x1/y0/y1 in place before the weight lines), so exact-boundary
+    # samples get all-zero weights and output 0.
+    wa = (x1c - x) * (y1c - y)
+    wb = (x1c - x) * (y - y0c)
+    wc = (x - x0c) * (y1c - y)
+    wd = (x - x0c) * (y - y0c)
     return wa * Ia + wb * Ib + wc * Ic + wd * Id
 
 

@@ -17,7 +17,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from witw_tpu.match.distance import window_sq_norms
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _chunk_distances(fo_c, wsq_c, fs, s_norm, *, w):
+    """Chord distances + orientations of one gallery chunk against all
+    queries: [G, Q] each. Module-level jit: compiled once per (shape, w),
+    not once per search() call."""
+    prod = jnp.einsum(
+        "ghfc,qhfc->gqf", fo_c, jnp.conj(fs),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    corr = jnp.fft.irfft(prod, n=w, axis=-1)
+    corr_max = jnp.max(corr, axis=-1)
+    orient = jnp.argmax(corr, axis=-1)
+    wsq_at = jnp.take_along_axis(
+        jnp.broadcast_to(wsq_c[:, None, :], corr.shape),
+        orient[..., None], axis=-1,
+    )[..., 0]
+    cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
+        s_norm[None, :], 1e-10
+    )
+    return 2.0 * (1.0 - cos), orient
 
 
 class GalleryIndex:
@@ -83,32 +107,22 @@ class GalleryIndex:
         fs = jnp.fft.rfft(s_pad, axis=2)
         s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
 
-        @jax.jit
-        def chunk_distances(fo_c, wsq_c, fs, s_norm):
-            prod = jnp.einsum(
-                "ghfc,qhfc->gqf", fo_c, jnp.conj(fs),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            corr = jnp.fft.irfft(prod, n=w, axis=-1)
-            corr_max = jnp.max(corr, axis=-1)
-            orient = jnp.argmax(corr, axis=-1)
-            wsq_at = jnp.take_along_axis(
-                jnp.broadcast_to(wsq_c[:, None, :], corr.shape),
-                orient[..., None], axis=-1,
-            )[..., 0]
-            cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
-                s_norm[None, :], 1e-10
-            )
-            return 2.0 * (1.0 - cos), orient  # [G, Q]
-
         best_d = np.full((q, k), np.inf, np.float32)
         best_i = np.full((q, k), -1, np.int64)
         best_o = np.zeros((q, k), np.int32)
         for start in range(0, n, gallery_chunk):
             stop = min(start + gallery_chunk, n)
-            d, orient = chunk_distances(fo[start:stop], wsq[start:stop], fs, s_norm)
-            d = np.asarray(d).T  # [Q, G]
-            orient = np.asarray(orient).T
+            fo_c, wsq_c = fo[start:stop], wsq[start:stop]
+            real = stop - start
+            if real < gallery_chunk and n > gallery_chunk:
+                # pad the remainder chunk to the fixed shape so the serving
+                # path keeps exactly one compiled kernel per gallery width
+                pad = gallery_chunk - real
+                fo_c = jnp.pad(fo_c, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                wsq_c = jnp.pad(wsq_c, ((0, pad), (0, 0)))
+            d, orient = _chunk_distances(fo_c, wsq_c, fs, s_norm, w=w)
+            d = np.asarray(d).T[:, :real]  # [Q, G_real]; drop pad entries
+            orient = np.asarray(orient).T[:, :real]
             cand_d = np.concatenate([best_d, d], axis=1)
             cand_i = np.concatenate(
                 [best_i, np.broadcast_to(np.arange(start, stop)[None, :], d.shape)],

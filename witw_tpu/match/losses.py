@@ -24,8 +24,10 @@ def dsm_triplet_loss(distances: jax.Array, alpha: float = 10.0) -> jax.Array:
     matching = jnp.diagonal(distances)
     d_s2o = matching[None, :] - distances  # matching_dists - distances
     d_o2s = matching[:, None] - distances
-    loss = jnp.sum(jnp.log1p(jnp.exp(alpha * d_s2o))) + jnp.sum(
-        jnp.log1p(jnp.exp(alpha * d_o2s))
+    # softplus == log(1+exp(x)) exactly, but stays finite past x ~ 88 where
+    # float32 exp overflows to inf (and the gradient to NaN).
+    loss = jnp.sum(jax.nn.softplus(alpha * d_s2o)) + jnp.sum(
+        jax.nn.softplus(alpha * d_o2s)
     )
     return loss / (2.0 * b * (b - 1))
 
@@ -62,8 +64,10 @@ def exhaustive_minibatch_triplet_loss(
     delta_rows = diag[:, None] - d2  # f(d_i - D2[i, j])
     delta_cols = diag[:, None] - d2.T  # f(d_i - D2[j, i])
     if soft_margin:
-        f_rows = jnp.log1p(jnp.exp(alpha * delta_rows))
-        f_cols = jnp.log1p(jnp.exp(alpha * delta_cols))
+        # stable softplus form; the reference's log(1+exp(.)) overflows for
+        # unbounded squared-Euclidean deltas (alpha*delta > ~88)
+        f_rows = jax.nn.softplus(alpha * delta_rows)
+        f_cols = jax.nn.softplus(alpha * delta_cols)
     else:
         f_rows = jax.nn.relu(delta_rows + margin)
         f_cols = jax.nn.relu(delta_cols + margin)

@@ -42,6 +42,7 @@ struct TiffTag {
 };
 
 struct TiffFile {
+  ~TiffFile() { if (fp) fclose(fp); }
   FILE* fp = nullptr;
   bool big_endian = false;
   bool bigtiff = false;
@@ -113,9 +114,17 @@ double rd_double_at(const uint8_t* p, uint16_t type, bool be) {
   }
 }
 
+// Hard caps against attacker-sized allocations from corrupt/malicious files:
+// tag value arrays and decoded chunks are bounded well above any real GeoTIFF
+// this pipeline handles, far below anything that could exhaust memory.
+constexpr uint64_t kMaxTagBytes = 1ull << 28;    // 256 MB of tag values
+constexpr uint64_t kMaxChunkBytes = 1ull << 31;  // 2 GB decoded chunk
+
 bool read_tag_values(TiffFile* t, TiffTag& tag, uint64_t value_or_offset_pos) {
   int inline_bytes = t->bigtiff ? 8 : 4;
-  uint64_t total = (uint64_t)(tag.count * type_size(tag.type));
+  uint64_t esz64 = (uint64_t)type_size(tag.type);
+  if (tag.count > kMaxTagBytes / std::max<uint64_t>(esz64, 1)) return false;
+  uint64_t total = tag.count * esz64;
   std::vector<uint8_t> raw(std::max<uint64_t>(total, 1));
   if (total <= (uint64_t)inline_bytes) {
     long save = ftell(t->fp);
@@ -140,7 +149,10 @@ bool read_tag_values(TiffFile* t, TiffTag& tag, uint64_t value_or_offset_pos) {
 }
 
 // --- LZW decompression (TIFF variant, MSB-first codes) ---
-bool lzw_decode(const uint8_t* src, size_t srclen, std::vector<uint8_t>& dst) {
+// max_out bounds dst growth; a stream that overruns the 4096-entry table,
+// references an undefined code, or emits past max_out is treated as corrupt.
+bool lzw_decode(const uint8_t* src, size_t srclen, std::vector<uint8_t>& dst,
+                size_t max_out) {
   struct Entry { int prev; uint8_t ch; uint16_t len; };
   std::vector<Entry> table(4096);
   auto reset = [&](int& next, int& bits) {
@@ -154,9 +166,11 @@ bool lzw_decode(const uint8_t* src, size_t srclen, std::vector<uint8_t>& dst) {
   auto emit = [&](int code) {
     // write the string for `code` (reversed chain)
     size_t start = dst.size();
+    if (start + table[code].len > max_out) return false;
     dst.resize(start + table[code].len);
     int c = code;
     for (int i = table[code].len - 1; i >= 0; i--) { dst[start + i] = table[c].ch; c = table[c].prev; }
+    return true;
   };
   while (true) {
     while (bitcnt < code_bits && pos < srclen) { bitbuf = (bitbuf << 8) | src[pos++]; bitcnt += 8; }
@@ -165,9 +179,18 @@ bool lzw_decode(const uint8_t* src, size_t srclen, std::vector<uint8_t>& dst) {
     bitcnt -= code_bits;
     if (code == 256) { reset(next_code, code_bits); prev_code = -1; continue; }
     if (code == 257) break;  // EOI
-    if (prev_code < 0) { emit(code); prev_code = code; continue; }
+    if (code > next_code) return false;  // references an undefined entry
+    if (prev_code < 0) {
+      if (code >= 256) return false;  // first code after reset must be a literal
+      if (!emit(code)) return false;
+      prev_code = code;
+      continue;
+    }
+    // A conforming encoder emits a clear code before the table fills; a
+    // stream that would write entry 4096 is corrupt (heap-OOB otherwise).
+    if (next_code >= 4096) return false;
     if (code < next_code) {
-      emit(code);
+      if (!emit(code)) return false;
       // add prev + first char of code
       int c = code; while (table[c].prev >= 0) c = table[c].prev;
       table[next_code] = {prev_code, table[c].ch, (uint16_t)(table[prev_code].len + 1)};
@@ -175,7 +198,7 @@ bool lzw_decode(const uint8_t* src, size_t srclen, std::vector<uint8_t>& dst) {
       // code == next_code: prev + first char of prev
       int c = prev_code; while (table[c].prev >= 0) c = table[c].prev;
       table[next_code] = {prev_code, table[c].ch, (uint16_t)(table[prev_code].len + 1)};
-      emit(next_code);
+      if (!emit(next_code)) return false;
     }
     next_code++;
     if (next_code == (1 << code_bits) - 1 && code_bits < 12) code_bits++;
@@ -205,12 +228,18 @@ const std::vector<uint8_t>* get_chunk(TiffFile* t, uint64_t idx) {
   if (t->tiled) {
     chunk_h = t->tile_h;
   } else {
-    uint64_t strips = t->chunk_offsets.size();
     uint64_t row0 = idx * t->rows_per_strip;
+    if (row0 >= t->height) return nullptr;
     chunk_h = std::min<uint64_t>(t->rows_per_strip, t->height - row0);
-    (void)strips;
   }
-  uint64_t raw_size = chunk_w * chunk_h * t->bands * bytes_per_sample;
+  // Overflow-safe product check against the decoded-chunk cap.
+  uint64_t px = chunk_w * chunk_h;
+  if (chunk_w != 0 && px / chunk_w != chunk_h) return nullptr;
+  uint64_t samples = px * t->bands;
+  if (px != 0 && samples / px != t->bands) return nullptr;
+  uint64_t raw_size = samples * bytes_per_sample;
+  if (raw_size == 0 || raw_size > kMaxChunkBytes) return nullptr;
+  if (idx >= t->chunk_sizes.size() || t->chunk_sizes[idx] > kMaxChunkBytes) return nullptr;
 
   std::vector<uint8_t> comp(t->chunk_sizes[idx]);
   fseek(t->fp, (long)t->chunk_offsets[idx], SEEK_SET);
@@ -224,7 +253,7 @@ const std::vector<uint8_t>* get_chunk(TiffFile* t, uint64_t idx) {
     if (!inflate_buf(comp.data(), comp.size(), out, raw_size)) return nullptr;
   } else if (t->compression == 5) {
     out.reserve(raw_size);
-    if (!lzw_decode(comp.data(), comp.size(), out)) return nullptr;
+    if (!lzw_decode(comp.data(), comp.size(), out, raw_size)) return nullptr;
     out.resize(raw_size);
   } else {
     return nullptr;  // unsupported compression
@@ -279,14 +308,16 @@ void parse_geokeys(TiffFile* t, const TiffTag& tag) {
 // C API: open/read/close
 // ---------------------------------------------------------------------------
 
-void* gt_open(const char* path) {
+// All extern-C entry points catch C++ exceptions (bad_alloc from corrupt
+// sizes, etc.) — nothing may unwind across the ctypes ABI boundary.
+void* gt_open(const char* path) try {
   std::unique_ptr<TiffFile> t(new TiffFile());
   t->fp = fopen(path, "rb");
   if (!t->fp) return nullptr;
   uint8_t hdr[4];
-  if (fread(hdr, 1, 4, t->fp) != 4) { fclose(t->fp); return nullptr; }
+  if (fread(hdr, 1, 4, t->fp) != 4) return nullptr;
   if (hdr[0] == 'M' && hdr[1] == 'M') t->big_endian = true;
-  else if (hdr[0] != 'I' || hdr[1] != 'I') { fclose(t->fp); return nullptr; }
+  else if (hdr[0] != 'I' || hdr[1] != 'I') return nullptr;
   uint16_t magic = t->big_endian ? (hdr[2] << 8 | hdr[3]) : (hdr[3] << 8 | hdr[2]);
   uint64_t ifd_off;
   if (magic == 42) {
@@ -298,7 +329,6 @@ void* gt_open(const char* path) {
     rd_uint(t->fp, 2, t->big_endian);  // reserved
     ifd_off = rd_uint(t->fp, 8, t->big_endian);
   } else {
-    fclose(t->fp);
     return nullptr;
   }
 
@@ -350,9 +380,13 @@ void* gt_open(const char* path) {
   if (!bits_per_sample.empty()) t->bits = (uint16_t)bits_per_sample[0];
   if (t->tile_w > 0 && !t->chunk_offsets.empty()) t->tiled = true;
   if (!t->tiled && t->rows_per_strip == 0) t->rows_per_strip = t->height;
-  if (t->width == 0 || t->height == 0) { fclose(t->fp); return nullptr; }
-  if (t->bits != 8 && t->bits != 16) { fclose(t->fp); return nullptr; }
-  if (t->planar != 1) { fclose(t->fp); return nullptr; }
+  if (t->width == 0 || t->height == 0) return nullptr;
+  if (t->bits != 8 && t->bits != 16) return nullptr;
+  if (t->planar != 1) return nullptr;
+  if (t->bands == 0) return nullptr;
+  if (t->tiled && (t->tile_w == 0 || t->tile_h == 0)) return nullptr;
+  if (t->chunk_offsets.size() != t->chunk_sizes.size()) return nullptr;
+  if (t->chunk_offsets.empty()) return nullptr;
 
   if (pixel_scale.size() >= 2 && tiepoint.size() >= 6) {
     // geotransform: x = x0 + px*sx ; y = y0 - py*sy
@@ -365,13 +399,12 @@ void* gt_open(const char* path) {
     t->has_geo = true;
   }
   return t.release();
+} catch (...) {
+  return nullptr;
 }
 
 void gt_close(void* h) {
-  TiffFile* t = (TiffFile*)h;
-  if (!t) return;
-  if (t->fp) fclose(t->fp);
-  delete t;
+  delete (TiffFile*)h;  // destructor closes fp
 }
 
 long gt_width(void* h) { return ((TiffFile*)h)->width; }
@@ -388,7 +421,7 @@ int gt_geotransform(void* h, double* gt6) {
 }
 
 // Windowed read into dst as uint16 HWC (caller converts); out-of-bounds = 0.
-int gt_read_window(void* h, long x0, long y0, long w, long hgt, uint16_t* dst) {
+int gt_read_window(void* h, long x0, long y0, long w, long hgt, uint16_t* dst) try {
   TiffFile* t = (TiffFile*)h;
   size_t bps = t->bits / 8;
   memset(dst, 0, (size_t)w * hgt * t->bands * sizeof(uint16_t));
@@ -439,6 +472,8 @@ int gt_read_window(void* h, long x0, long y0, long w, long hgt, uint16_t* dst) {
     }
   }
   return 0;
+} catch (...) {
+  return 1;
 }
 
 // ---------------------------------------------------------------------------
@@ -453,7 +488,7 @@ struct WTag { uint16_t code, type; uint32_t count; uint64_t value; };
 }  // namespace
 
 int gt_write_u8(const char* path, const uint8_t* data, long w, long h, int bands,
-                const double* gt6, int epsg, int compress) {
+                const double* gt6, int epsg, int compress) try {
   FILE* fp = fopen(path, "wb");
   if (!fp) return 1;
 
@@ -555,6 +590,8 @@ int gt_write_u8(const char* path, const uint8_t* data, long w, long h, int bands
   for (uint32_t s = 0; s < nstrips; s++) fwrite(strips[s].data(), 1, strips[s].size(), fp);
   fclose(fp);
   return 0;
+} catch (...) {
+  return 3;
 }
 
 // ---------------------------------------------------------------------------
@@ -651,7 +688,7 @@ double lanczos3(double x) {
 
 // method: 0 = bilinear, 1 = lanczos3. Half-pixel-center convention.
 int gt_resample(const float* src, long sw, long sh, int bands,
-                float* dst, long dw, long dh, int method) {
+                float* dst, long dw, long dh, int method) try {
   double sx = (double)sw / dw, sy = (double)sh / dh;
   std::vector<float> tmp((size_t)sh * dw * bands);
 
@@ -690,6 +727,8 @@ int gt_resample(const float* src, long sw, long sh, int bands,
     resample_line(tmp.data() + (size_t)x * bands, sh, (long)dw * bands,
                   dst + (size_t)x * bands, dh, (long)dw * bands, sy);
   return 0;
+} catch (...) {
+  return 1;
 }
 
 }  // extern "C"

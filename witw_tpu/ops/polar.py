@@ -15,7 +15,9 @@ pseudo-panorama samples the s_o x s_o overhead tile at
     col = s_o/2 - s_o/2 * (h_s-1-y)/h_s * sin(2*pi*x/w_s)
 
 with bilinear interpolation whose four corner indices are clipped to the valid
-range independently (reference cvig_fov.py:163-171).
+range BEFORE the weights are computed (reference cvig_fov.py:163-183) — at
+exact-boundary samples (e.g. row = s_o - 1 at y=0, x=0) all weights collapse
+to 0 and the reference emits 0, not the border pixel; reproduced here.
 """
 
 from __future__ import annotations
@@ -34,10 +36,16 @@ class PolarGrid(NamedTuple):
 
     idx: int32 [4, h_s*w_s] flat indices into a flattened (s_o*s_o) tile.
     weight: float32 [4, h_s*w_s] matching bilinear corner weights.
+    wsum: float32 [h_s, w_s] per-pixel weight sum — exactly 1 in the interior
+        and 0 at exact-boundary samples (where the reference's clip-then-weight
+        order zeroes the output). Users that normalize AFTER the transform
+        multiply by this mask post-normalization to stay bit-equal to the
+        reference's normalize-then-polar order.
     """
 
     idx: np.ndarray
     weight: np.ndarray
+    wsum: np.ndarray
     out_hw: Tuple[int, int]
 
 
@@ -57,16 +65,17 @@ def polar_grid(
     r1 = r0 + 1
     c0 = np.floor(col).astype(np.int64)
     c1 = c0 + 1
-    # Corner weights use the *unclipped* indices; corners are clipped
-    # independently afterwards (matches reference cvig_fov.py:163-183).
-    w_r0 = r1 - row
-    w_r1 = row - r0
-    w_c0 = c1 - col
-    w_c1 = col - c0
+    # Reference order (cvig_fov.py:168-183): clip the corner indices FIRST,
+    # then compute weights from the clipped values. At exact-boundary samples
+    # the weights all vanish and the output is 0 (not the border pixel).
     r0c = np.clip(r0, 0, s_o - 1)
     r1c = np.clip(r1, 0, s_o - 1)
     c0c = np.clip(c0, 0, s_o - 1)
     c1c = np.clip(c1, 0, s_o - 1)
+    w_r0 = r1c - row
+    w_r1 = row - r0c
+    w_c0 = c1c - col
+    w_c1 = col - c0c
 
     idx = np.stack(
         [
@@ -84,7 +93,10 @@ def polar_grid(
             (w_c1 * w_r1).reshape(-1),
         ]
     ).astype(np.float32)
-    return PolarGrid(idx=idx, weight=weight, out_hw=(h_s, w_s))
+    # (w_r0+w_r1)(w_c0+w_c1) = (r1c-r0c)(c1c-c0c) in {0, 1}: 0 exactly where
+    # both corners clipped to the same index (boundary sample).
+    wsum = ((r1c - r0c) * (c1c - c0c)).astype(np.float32)
+    return PolarGrid(idx=idx, weight=weight, wsum=wsum, out_hw=(h_s, w_s))
 
 
 def polar_transform(
@@ -101,8 +113,11 @@ def polar_transform(
     ``gather_dtype=bfloat16`` halves the gather's HBM traffic (the hot part of
     this op on TPU). It is exact for raw uint8-valued tiles (bf16 represents
     integers <= 256 exactly); call the transform *before* normalization in
-    that case — bilinear weights sum to 1, so the per-channel affine
-    normalization commutes with the transform.
+    that case — bilinear weights sum to 1 in the interior, so the per-channel
+    affine normalization commutes with the transform there. At the few
+    exact-boundary pixels the weight sum is 0 (reference clip-then-weight
+    semantics); multiply the normalized result by ``polar_grid(...).wsum`` to
+    zero them, which restores exact equality with normalize-then-polar.
     """
     squeeze = overhead.ndim == 3
     if squeeze:

@@ -35,12 +35,23 @@ def _build_native() -> bool:
         return False
 
 
+def _lib_is_stale() -> bool:
+    """True when geotiff_io.cpp is newer than the built .so (edit-and-rerun
+    must not silently load the old binary)."""
+    src = os.path.join(_NATIVE_DIR, "geotiff_io.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+
+
 def native_lib() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build_native():
-        return None
+    if (not os.path.exists(_LIB_PATH) or _lib_is_stale()) and not _build_native():
+        if not os.path.exists(_LIB_PATH):
+            return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.gt_open.restype = ctypes.c_void_p
     lib.gt_open.argtypes = [ctypes.c_char_p]

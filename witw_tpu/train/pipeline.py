@@ -33,7 +33,7 @@ from witw_tpu.models.baseline import BaselineEncoder
 from witw_tpu.models.fov_dsm import FovDsm, fov_dsm_trainable_mask
 from witw_tpu.ops.fov import fov_crop, random_fov_starts
 from witw_tpu.ops.image import normalize_images, repeat_rows
-from witw_tpu.ops.polar import polar_transform
+from witw_tpu.ops.polar import polar_grid, polar_transform
 from witw_tpu.ops.rotation import synced_rotation
 
 
@@ -121,14 +121,20 @@ class FovPipeline:
         surface = normalize_images(surface, d.img_mean, d.img_std, scale_ch)
         # Polar-transform the raw tile first with a bf16 gather (exact for
         # uint8-valued pixels, halves the gather's HBM traffic), then
-        # normalize: the per-channel affine commutes with the transform
-        # because bilinear weights sum to 1. Reference order is
-        # normalize-then-polar (cvig_fov.py:393-397) — mathematically equal.
+        # normalize: the per-channel affine commutes with the transform where
+        # bilinear weights sum to 1 (everywhere except exact-boundary samples,
+        # where the reference's clip-then-weight order yields 0 — restored by
+        # the wsum mask below). Reference order is normalize-then-polar
+        # (cvig_fov.py:393-397) — this composition is mathematically equal.
         polar = polar_transform(
             overhead, d.surface_height, d.surface_width_max,
             gather_dtype=jnp.bfloat16,
         )
         polar = normalize_images(polar, d.img_mean, d.img_std, scale_ch)
+        wsum = polar_grid(
+            d.surface_height, d.surface_width_max, overhead.shape[1]
+        ).wsum
+        polar = polar * jnp.asarray(wsum)[None, :, :, None]
         return surface, polar
 
     # ---- loss ----
