@@ -51,3 +51,55 @@ def test_global_batch_from_local_single_process(tmp_path):
     assert out["surface"].shape == (8, 4, 4, 3)
     # batch axis sharded over the 8 devices
     assert len(out["surface"].sharding.device_set) == 8
+
+
+def _planted_pairs(rng, n, h, w, sw, c):
+    """Gallery/query pairs with decisive structure: each query is an exact
+    window of its gallery item, so correlation peaks and rank comparisons are
+    far from any roundoff tie (random data makes argmax/rank flip under
+    1-ulp differences from different lowering contexts — NOTES.md landmine)."""
+    o = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    shifts = rng.integers(0, w, size=n)
+    s = np.stack([o[i][:, (shifts[i] + np.arange(sw)) % w, :] for i in range(n)])
+    return o, s.astype(np.float32)
+
+
+def test_gallery_sharded_eval_bitmatches_single_device(rng):
+    """SURVEY.md §5.7: gallery-resident sharded sweep. The gallery tensors are
+    physically sharded over all 8 devices and the psum'd rank counts are
+    bitwise identical to the single-device evaluator."""
+    from witw_tpu.evaluation.gallery import FovGalleryEvaluator
+
+    n = 41  # not divisible by devices*chunk -> exercises padding
+    o_emb, s_emb = _planted_pairs(rng, n, h=2, w=16, sw=8, c=3)
+
+    single = FovGalleryEvaluator(query_block=16, gallery_chunk=4)
+    ranks_single = single.ranks(o_emb, s_emb)
+
+    mesh = make_mesh(n_data=4, n_gallery=2)
+    sharded = FovGalleryEvaluator(
+        mesh=mesh, query_block=16, gallery_chunk=4, shard_gallery=True
+    )
+    ranks_sharded = sharded.ranks(o_emb, s_emb)
+
+    np.testing.assert_array_equal(ranks_sharded, ranks_single)
+    # the gallery was resident-sharded over every device of the mesh
+    assert len(sharded.last_gallery_sharding.device_set) == 8
+    spec = sharded.last_gallery_sharding.spec
+    assert spec[0] == ("data", "gallery") or spec[0] == ("data",) or tuple(spec[0]) == ("data", "gallery")
+
+
+def test_gallery_sharded_eval_full_width_queries(rng):
+    """sw == w path (fov=360) through the sharded sweep."""
+    from witw_tpu.evaluation.gallery import FovGalleryEvaluator
+
+    n = 24
+    o_emb, s_emb = _planted_pairs(rng, n, h=1, w=16, sw=16, c=2)
+    single = FovGalleryEvaluator(query_block=8, gallery_chunk=2)
+    mesh = make_mesh(n_data=8)
+    sharded = FovGalleryEvaluator(
+        mesh=mesh, query_block=8, gallery_chunk=2, shard_gallery=True
+    )
+    np.testing.assert_array_equal(
+        sharded.ranks(o_emb, s_emb), single.ranks(o_emb, s_emb)
+    )

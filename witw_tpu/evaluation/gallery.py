@@ -56,18 +56,33 @@ class FovGalleryEvaluator:
         query_block: int = 128,
         gallery_chunk: int = 1024,
         use_pallas: bool = False,
+        shard_gallery: bool = False,
     ):
         """``use_pallas`` switches the per-chunk kernel to the fused Pallas
         correlation+distance kernel (witw_tpu.ops.pallas.fused_match), which
         never materializes the [G, Q, W] correlation tensor in HBM. The XLA
         FFT path is the measured default at CVUSA feature-map shapes; the
-        Pallas path trades compute for HBM headroom as Q*G grows."""
+        Pallas path trades compute for HBM headroom as Q*G grows.
+
+        ``shard_gallery`` (requires ``mesh``) makes the gallery RESIDENT,
+        physically sharded over every mesh device: each device FFTs and
+        window-norms only its own gallery shard inside the jit (no
+        single-device precompute ceiling), query blocks are replicated and
+        stream against the local shards, and the per-shard rank counts meet
+        in one psum (SURVEY.md §5.7's ring-attention analogue; replaces the
+        reference's per-query loop, cvig_fov.py:544-552, at 100k+ tile
+        scale). Without it the mesh shards the query axis instead."""
         self.mesh = mesh
         self.query_block = query_block
         self.gallery_chunk = gallery_chunk
         self.use_pallas = use_pallas
+        self.shard_gallery = shard_gallery
+        if shard_gallery:
+            assert mesh is not None, "shard_gallery requires a mesh"
 
     def ranks(self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray) -> np.ndarray:
+        if self.shard_gallery:
+            return self._ranks_gallery_sharded(overhead_embeds, surface_embeds)
         n = surface_embeds.shape[0]
         assert overhead_embeds.shape[0] == n
         sw = surface_embeds.shape[2]
@@ -122,6 +137,52 @@ class FovGalleryEvaluator:
         # arithmetic; guard against FFT roundoff dropping the self-match.
         return np.maximum(counts, 1)
 
+    def _ranks_gallery_sharded(
+        self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray
+    ) -> np.ndarray:
+        """Gallery-resident sharded sweep (see __init__). Rank counts are
+        integer sums over gallery items, so the psum-of-shards result is
+        bitwise identical to the single-device sweep."""
+        from witw_tpu.parallel.mesh import gallery_sharding
+
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        n = surface_embeds.shape[0]
+        n_gal = overhead_embeds.shape[0]
+        sw = surface_embeds.shape[2]
+
+        d_true = np.asarray(
+            _paired_distance_batched(
+                jnp.asarray(overhead_embeds), jnp.asarray(surface_embeds)
+            )
+        )
+
+        # Pad the gallery to n_dev * chunks_per_device * gallery_chunk and
+        # place it sharded over ALL mesh devices; each device sees only its
+        # own [local_n, h, w, c] shard from here on.
+        chunk = min(self.gallery_chunk, -(-n_gal // n_dev))
+        per_dev_chunks = -(-n_gal // (n_dev * chunk))
+        n_gal_pad = n_dev * per_dev_chunks * chunk
+        gal_np = _pad_to(np.asarray(overhead_embeds, np.float32), n_gal_pad)
+        valid_np = (np.arange(n_gal_pad) < n_gal)
+        gal = jax.device_put(gal_np, gallery_sharding(mesh, 4))
+        valid = jax.device_put(valid_np, gallery_sharding(mesh, 1))
+        # exposed for tests / introspection: proof the gallery is resident
+        # sharded across every mesh device
+        self.last_gallery_sharding = gal.sharding
+
+        qb = self.query_block
+        n_qblocks = -(-n // qb)
+        s_all = _pad_to(np.asarray(surface_embeds, np.float32), n_qblocks * qb)
+        s_all = s_all.reshape(n_qblocks, qb, *s_all.shape[1:])
+        dt_all = _pad_to(np.asarray(d_true, np.float32), n_qblocks * qb)
+        dt_all = dt_all.reshape(n_qblocks, qb)
+
+        fn = _make_gallery_sharded_counter(mesh, sw, chunk, per_dev_chunks)
+        counts = np.asarray(fn(gal, valid, jnp.asarray(s_all), jnp.asarray(dt_all)))
+        counts = counts.reshape(-1)[:n]
+        return np.maximum(counts, 1)
+
     def metrics(self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray) -> Dict[str, float]:
         return metrics_from_ranks(self.ranks(overhead_embeds, surface_embeds))
 
@@ -132,55 +193,105 @@ def _paired_distance_batched(overhead, surface):
     return d
 
 
+def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, s_blocks,
+                            d_true_blocks, w: int):
+    """Count gallery items with distance <= d_true for every query.
+
+    fo_chunks: complex [C, G, h, wf, c]; wsq_chunks: [C, G, w];
+    valid_chunks: bool [C, G]; s_blocks: [NB, Q, h, sw, c];
+    d_true_blocks: [NB, Q]. Returns int32 [NB, Q]. Pure (trace-time) function
+    shared by the query-sharded and gallery-sharded counters."""
+    sw = s_blocks.shape[3]
+
+    def one_qblock(args):
+        s_block, d_true_block = args
+        s = s_block.astype(jnp.float32)
+        s_pad = (
+            jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
+        )
+        fs = jnp.fft.rfft(s_pad, axis=2)  # [Q, h, wf, c]
+        s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))  # [Q]
+
+        def one_chunk(args):
+            fo, wsq, valid = args
+            prod = jnp.einsum(
+                "ghfc,qhfc->gqf", fo, jnp.conj(fs),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [G, Q, w]
+            # Orientation = argmax of the *unnormalized* correlation
+            # (reference cvig_fov.py:312-313); its value is the max.
+            corr_max = jnp.max(corr, axis=-1)  # [G, Q]
+            orient = jnp.argmax(corr, axis=-1)  # [G, Q]
+            wsq_at = jnp.take_along_axis(
+                jnp.broadcast_to(wsq[:, None, :], corr.shape),
+                orient[..., None], axis=-1,
+            )[..., 0]
+            cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
+                s_norm[None, :], 1e-10
+            )
+            d = 2.0 * (1.0 - cos)  # [G, Q]
+            le = (d <= d_true_block[None, :]) & valid[:, None]
+            return jnp.sum(le.astype(jnp.int32), axis=0)  # [Q]
+
+        per_chunk = jax.lax.map(one_chunk, (fo_chunks, wsq_chunks, valid_chunks))
+        return jnp.sum(per_chunk, axis=0)
+
+    return jax.lax.map(one_qblock, (s_blocks, d_true_blocks))  # [NB, Q]
+
+
 def _make_block_counter(mesh: Optional[Mesh]):
     @jax.jit
     def all_counts(fo_chunks, wsq_chunks, valid_chunks, s_blocks, d_true_blocks):
-        """Count gallery items with distance <= d_true for every query.
-
-        fo_chunks: complex [C, G, h, wf, c]; wsq_chunks: [C, G, w];
-        valid_chunks: bool [C, G]; s_blocks: [NB, Q, h, sw, c];
-        d_true_blocks: [NB, Q]. Returns int32 [NB, Q].
-        """
         w = wsq_chunks.shape[-1]
-        sw = s_blocks.shape[3]
-
-        def one_qblock(args):
-            s_block, d_true_block = args
-            s = s_block.astype(jnp.float32)
-            s_pad = (
-                jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
-            )
-            fs = jnp.fft.rfft(s_pad, axis=2)  # [Q, h, wf, c]
-            s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))  # [Q]
-
-            def one_chunk(args):
-                fo, wsq, valid = args
-                prod = jnp.einsum(
-                    "ghfc,qhfc->gqf", fo, jnp.conj(fs),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [G, Q, w]
-                # Orientation = argmax of the *unnormalized* correlation
-                # (reference cvig_fov.py:312-313); its value is the max.
-                corr_max = jnp.max(corr, axis=-1)  # [G, Q]
-                orient = jnp.argmax(corr, axis=-1)  # [G, Q]
-                wsq_at = jnp.take_along_axis(
-                    jnp.broadcast_to(wsq[:, None, :], corr.shape),
-                    orient[..., None], axis=-1,
-                )[..., 0]
-                cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
-                    s_norm[None, :], 1e-10
-                )
-                d = 2.0 * (1.0 - cos)  # [G, Q]
-                le = (d <= d_true_block[None, :]) & valid[:, None]
-                return jnp.sum(le.astype(jnp.int32), axis=0)  # [Q]
-
-            per_chunk = jax.lax.map(one_chunk, (fo_chunks, wsq_chunks, valid_chunks))
-            return jnp.sum(per_chunk, axis=0)
-
-        return jax.lax.map(one_qblock, (s_blocks, d_true_blocks))  # [NB, Q]
+        return _count_blocks_vs_chunks(
+            fo_chunks, wsq_chunks, valid_chunks, s_blocks, d_true_blocks, w
+        )
 
     return all_counts
+
+
+def _shard_map():
+    """shard_map across jax versions (public name moved)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map
+
+
+@functools.lru_cache(maxsize=32)
+def _make_gallery_sharded_counter(mesh: Mesh, sw: int, chunk: int,
+                                  per_dev_chunks: int):
+    """shard_map sweep with the GALLERY resident per device.
+
+    Each device receives its local [n_local, h, w, c] gallery shard, computes
+    that shard's width-FFT and window norms locally (no replicated
+    precompute), streams every query block against its chunks, and the
+    per-shard counts meet in a single integer psum over the whole mesh."""
+    axes = tuple(mesh.axis_names)
+    P_gal4 = P(axes, None, None, None)
+    P_gal1 = P(axes)
+
+    def local_sweep(gal_l, valid_l, s_blocks, d_true_blocks):
+        w = gal_l.shape[2]
+        fo = jnp.fft.rfft(gal_l, axis=2)  # local shard only
+        wsq = window_sq_norms(gal_l, sw)
+        fo = fo.reshape(per_dev_chunks, chunk, *fo.shape[1:])
+        wsq = wsq.reshape(per_dev_chunks, chunk, w)
+        valid_c = valid_l.reshape(per_dev_chunks, chunk)
+        counts = _count_blocks_vs_chunks(
+            fo, wsq, valid_c, s_blocks, d_true_blocks, w
+        )
+        return jax.lax.psum(counts, axis_name=axes)
+
+    sm = _shard_map()(
+        local_sweep,
+        mesh=mesh,
+        in_specs=(P_gal4, P_gal1, P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(sm)
 
 
 def _make_block_counter_pallas(sw: int):
