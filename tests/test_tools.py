@@ -318,3 +318,59 @@ def test_bbox_area_guards():
     # children are at/below min_area -> kept despite total >= cap
     assert len(boxes) == 2
     assert len(calls) == 2  # never counted the oversized parent
+
+
+def test_torch_checkpoint_mask_parity(tmp_path, rng):
+    """A torch segmentation checkpoint run through the tool reproduces the
+    reference augment.py math (input/255 -> model -> sigmoid -> min-max ->
+    *255 -> uint8 truncation) exactly."""
+    torch = pytest.importorskip("torch")
+
+    from witw_tpu.tools.geotiff import write_geotiff_u8, GeoTiff
+    from witw_tpu.tools.semantic_masks import precompute_masks, torch_segmenter
+
+    model = torch.nn.Conv2d(3, 1, 3, padding=1)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model.weight.normal_(0, 0.5)
+        model.bias.zero_()
+    ckpt = str(tmp_path / "seg.pth")
+    torch.save(model, ckpt)
+
+    overhead_dir = tmp_path / "overhead"
+    overhead_dir.mkdir()
+    tiles = {}
+    for i in range(2):
+        tile = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        write_geotiff_u8(str(overhead_dir / f"t{i}.tif"), tile)
+        tiles[f"t{i}"] = tile
+
+    n = precompute_masks(
+        str(overhead_dir), segmenter=torch_segmenter(ckpt), minmax=True,
+        verbose=False,
+    )
+    assert n == 2
+
+    out_dir = tmp_path / "cresi_uint8"
+    for name, tile in tiles.items():
+        with GeoTiff(str(out_dir / f"{name}.tif")) as tif:
+            got = tif.read()
+        assert got.shape == (16, 16, 4)
+        np.testing.assert_array_equal(got[..., :3], tile)
+        # transcribed reference math (augment.py:72-85)
+        x = torch.tensor(tile.transpose(2, 0, 1)[None].astype(np.float32) / 255.0)
+        with torch.no_grad():
+            pred = torch.sigmoid(model(x)).squeeze()
+        pred = (pred - pred.min()) / (pred.max() - pred.min())
+        want = (pred * 255).to(torch.uint8).numpy()
+        np.testing.assert_array_equal(got[..., 3], want)
+
+
+def test_torch_segmenter_rejects_state_dict(tmp_path):
+    torch = pytest.importorskip("torch")
+    from witw_tpu.tools.semantic_masks import torch_segmenter
+
+    ckpt = str(tmp_path / "sd.pth")
+    torch.save(torch.nn.Conv2d(3, 1, 3).state_dict(), ckpt)
+    with pytest.raises(ValueError):
+        torch_segmenter(ckpt)

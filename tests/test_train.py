@@ -194,3 +194,56 @@ def test_checkpointer_retention(tmp_path):
     assert ckpt.exists("latest")
     meta = ckpt.meta("latest")
     assert meta["step"] == 4
+
+
+def test_val_embedding_projector_dump(tmp_path):
+    """The val-phase projector dump (reference cvig_fov.py:475-479) lands
+    real projector data in the TensorBoard logdir."""
+    import glob
+    import os
+
+    from witw_tpu.train.loop import dump_val_embeddings
+    from witw_tpu.train.metrics import MetricWriter
+
+    cfg = tiny_fov_cfg(tmp_path)
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+    val_loader = tiny_loader(n=4, batch=4, seed=9)
+    logdir = str(tmp_path / "runs")
+    writer = MetricWriter(logdir)
+    dump_val_embeddings(pipeline, state, val_loader, writer, epoch=0,
+                        rng=jax.random.PRNGKey(1))
+    writer.close()
+    # tensorboardX writes projector_config.pbtxt + tensor tsvs per dump
+    pbtxt = glob.glob(os.path.join(logdir, "**", "projector_config.pbtxt"),
+                      recursive=True)
+    tensors = glob.glob(os.path.join(logdir, "**", "tensors.tsv"), recursive=True)
+    assert pbtxt and tensors, os.listdir(logdir)
+    # 2B rows (surface + aligned overhead), each a flattened feature map
+    rows = open(tensors[0]).read().strip().split("\n")
+    assert len(rows) == 8
+
+
+def test_checkpointer_multihost_single_writer(tmp_path, monkeypatch):
+    """On a (mocked) multi-process run only process 0 writes; other processes
+    neither create files nor race on latest.msgpack."""
+    from witw_tpu.train.checkpoint import Checkpointer
+
+    cfg = tiny_fov_cfg(tmp_path)
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    ck1 = Checkpointer(str(tmp_path / "mh"))
+    assert ck1.save("latest", state, {"step": 0}) is None
+    ck1.save_step(state, 1)
+    assert not (tmp_path / "mh").exists()  # non-zero process created nothing
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    ck0 = Checkpointer(str(tmp_path / "mh"))
+    assert ck0.save("latest", state, {"step": 0}) is not None
+    assert (tmp_path / "mh" / "latest.msgpack").exists()
+    # every process can restore what process 0 wrote
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    restored = Checkpointer(str(tmp_path / "mh")).restore_latest(state)
+    assert restored is not None

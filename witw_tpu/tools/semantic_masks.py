@@ -53,15 +53,73 @@ def normalize_prediction(pred: np.ndarray) -> np.ndarray:
     return (pred - lo) / max(hi - lo, 1e-12)
 
 
+def minmax_normalize(pred: np.ndarray) -> np.ndarray:
+    """Min-max normalize an already-activated prediction (the reference
+    min-max-normalizes AFTER torch.sigmoid, augment.py:77). float32
+    arithmetic like the reference so the subsequent uint8 truncation lands
+    on identical integers."""
+    pred = pred.astype(np.float32)
+    lo, hi = pred.min(), pred.max()
+    return (pred - lo) / max(hi - lo, np.float32(1e-12))
+
+
+def torch_segmenter(checkpoint_path: str, device: str = "cpu") -> Segmenter:
+    """Segmenter backed by a user-supplied torch segmentation checkpoint —
+    the reference's CRESI path (``torch.load('../fold0_best.pth')``,
+    augment.py:61). The checkpoint must deserialize to a full nn.Module (the
+    reference relies on pytorch_zoo being importable for exactly this).
+
+    Math matches augment.py:72-79: input scaled /255, CHW batch of 1,
+    ``torch.sigmoid(model(x))``. The min-max normalization is applied by the
+    caller (``precompute_masks(..., minmax=True)``). Single-channel output is
+    returned as (H, W) without the reference's latent transpose (for C=1 its
+    ``squeeze()``+``moveaxis(0,-1)`` flips H/W on square tiles — a quirk not
+    copied, see SURVEY.md §7 'quirks not to copy'); multi-channel output maps
+    [C, H, W] -> channel 0.
+    """
+    import torch
+
+    model = torch.load(checkpoint_path, map_location=device, weights_only=False)
+    if hasattr(model, "eval"):
+        model.eval()
+    else:
+        raise ValueError(
+            f"{checkpoint_path} does not contain a full nn.Module (got "
+            f"{type(model).__name__}); a bare state_dict cannot be run without "
+            "its architecture"
+        )
+
+    def segment(rgb: np.ndarray) -> np.ndarray:
+        x = torch.tensor(
+            np.transpose(rgb.astype(np.float32) / 255.0, (2, 0, 1))[None],
+            device=device,
+        )
+        with torch.no_grad():
+            pred = torch.sigmoid(model(x))
+        pred = pred.detach().cpu().numpy()
+        pred = pred.reshape(pred.shape[-3:]) if pred.ndim == 4 else pred
+        if pred.ndim == 3:  # [C, H, W]
+            pred = pred[0]
+        return pred.astype(np.float32)
+
+    return segment
+
+
 def precompute_masks(
     overhead_dir: str,
     out_dir: Optional[str] = None,
     segmenter: Optional[Segmenter] = None,
     logits: bool = False,
+    minmax: bool = False,
     verbose: bool = True,
 ) -> int:
     """Write RGB+mask 4-channel uint8 TIFFs into ``<parent>/cresi_uint8/``
-    (the directory name cvig_semantic reads, reference cvig_semantic.py:111)."""
+    (the directory name cvig_semantic reads, reference cvig_semantic.py:111).
+
+    ``logits``: the segmenter returns raw logits -> sigmoid + min-max.
+    ``minmax``: the segmenter returns probabilities -> min-max only (the
+    reference order with a torch checkpoint: sigmoid inside the segmenter,
+    then min-max, augment.py:75-79)."""
     if out_dir is None:
         out_dir = os.path.join(os.path.dirname(overhead_dir.rstrip("/")), "cresi_uint8")
     os.makedirs(out_dir, exist_ok=True)
@@ -78,7 +136,13 @@ def precompute_masks(
         mask = segmenter(rgb.astype(np.float32))
         if logits:
             mask = normalize_prediction(mask)
-        mask8 = np.round(np.clip(mask, 0, 1) * 255).astype(np.uint8)
+        elif minmax:
+            mask = minmax_normalize(mask)
+        if minmax:
+            # reference truncates: (pred*255).type(torch.uint8), augment.py:81-85
+            mask8 = (np.clip(mask, 0, 1) * 255).astype(np.uint8)
+        else:
+            mask8 = np.round(np.clip(mask, 0, 1) * 255).astype(np.uint8)
         out = np.concatenate([rgb.astype(np.uint8), mask8[..., None]], axis=-1)
         out_path = os.path.join(out_dir, os.path.splitext(name)[0] + ".tif")
         write_geotiff_u8(out_path, out, gt, epsg)
@@ -92,8 +156,19 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Precompute 4-channel road-mask tiles")
     parser.add_argument("--overhead-dir", required=True)
     parser.add_argument("--out-dir", default=None)
+    parser.add_argument(
+        "--torch-checkpoint", default=None,
+        help="path to a torch segmentation checkpoint (full nn.Module, e.g. "
+             "CRESI fold0_best.pth — reference augment.py:61); omit for the "
+             "built-in heuristic mask",
+    )
+    parser.add_argument("--device", default="cpu")
     args = parser.parse_args(argv)
-    n = precompute_masks(args.overhead_dir, args.out_dir)
+    if args.torch_checkpoint:
+        seg = torch_segmenter(args.torch_checkpoint, args.device)
+        n = precompute_masks(args.overhead_dir, args.out_dir, segmenter=seg, minmax=True)
+    else:
+        n = precompute_masks(args.overhead_dir, args.out_dir)
     print(f"wrote {n} masked tiles")
 
 

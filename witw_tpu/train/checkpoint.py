@@ -11,7 +11,11 @@ model/cvig_fov.py:481-487; SURVEY.md §5.4). Here the full TrainState
 - ``latest``/``best`` pointer files enabling exact resume.
 
 Serialization uses flax msgpack (flax.serialization) — single-file,
-dependency-stable. Orbax is used when available for async multi-host saves.
+dependency-stable, written atomically (tmp + rename). Multi-host safety: on a
+pod every process runs this code, so writes are gated on
+``jax.process_index() == 0`` (non-zero processes fetch nothing and write
+nothing); leaves that are not fully addressable on this host are gathered
+with ``process_allgather`` before serialization.
 """
 
 from __future__ import annotations
@@ -25,19 +29,37 @@ import numpy as np
 from flax import serialization
 
 
+def _to_host(x) -> np.ndarray:
+    """Fetch one state leaf to host numpy, gathering shards living on other
+    processes' devices when needed (np.asarray alone cannot read those)."""
+    if (
+        jax.process_count() > 1
+        and isinstance(x, jax.Array)
+        and not x.is_fully_addressable
+    ):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 class Checkpointer:
     def __init__(self, directory: str, keep: int = 3):
         self.directory = directory
         self.keep = keep
-        os.makedirs(directory, exist_ok=True)
+        if jax.process_index() == 0:
+            os.makedirs(directory, exist_ok=True)
 
     # ---- low-level ----
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, f"{name}.msgpack")
 
-    def save(self, name: str, state: Any, meta: Optional[dict] = None) -> str:
-        host_state = jax.tree.map(np.asarray, state)
+    def save(self, name: str, state: Any, meta: Optional[dict] = None) -> Optional[str]:
+        """Write ``name``; only process 0 writes (returns None elsewhere)."""
+        if jax.process_index() != 0:
+            return None
+        host_state = jax.tree.map(_to_host, state)
         path = self._path(name)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -84,6 +106,8 @@ class Checkpointer:
         return self.restore("latest", target)
 
     def _gc(self) -> None:
+        if jax.process_index() != 0:
+            return
         steps = sorted(
             int(f[5:-8])
             for f in os.listdir(self.directory)

@@ -178,6 +178,9 @@ def train(
                 pipeline, state, val_loader, val_rng, False, epoch,
                 writer, cfg.train.log_every_steps, mesh, verbose,
             )
+            if writer is not None:
+                rng, dump_rng = jax.random.split(rng)
+                dump_val_embeddings(pipeline, state, val_loader, writer, epoch, dump_rng)
             checkpointer.save_step(state, int(state.step), {"epoch": epoch + 1})
             if best_loss is None or val_loss < best_loss:
                 if verbose:
@@ -199,12 +202,25 @@ def train(
                 signal.signal(sig, handler)
 
 
+def _fetch_global(x) -> np.ndarray:
+    """Fetch a device array to host numpy, gathering across processes when the
+    array is sharded over a multi-host mesh (np.asarray alone cannot read
+    remote shards)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=False):
     """Embed a whole dataset; returns (surface_embeds, overhead_embeds) as
-    numpy, preallocated (fixes the reference's O(N^2) torch.cat pattern,
-    cvig_fov.py:527-532). ``rng`` seeds the eval-time stochastic transforms
-    the reference applies (random crop heading / synced rotation), split per
-    batch."""
+    numpy. Batch results are accumulated in a list and concatenated ONCE —
+    O(N) total copies, vs the reference's per-batch torch.cat realloc pattern
+    which is O(N^2) (cvig_fov.py:527-532). Multi-host meshes are handled by a
+    per-batch process_allgather. ``rng`` seeds the eval-time stochastic
+    transforms the reference applies (random crop heading / synced rotation),
+    split per batch."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     surfaces = []
@@ -215,9 +231,61 @@ def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=
             data = shard_batch(data, mesh)
         rng, step_rng = jax.random.split(rng)
         s_emb, o_emb = pipeline.embed_step(state, data, step_rng)
-        surfaces.append(np.asarray(s_emb))
-        overheads.append(np.asarray(o_emb))
+        surfaces.append(_fetch_global(s_emb))
+        overheads.append(_fetch_global(o_emb))
     return np.concatenate(surfaces), np.concatenate(overheads)
+
+
+def dump_val_embeddings(pipeline, state: TrainState, val_loader, writer: MetricWriter,
+                        epoch: int, rng: jax.Array) -> None:
+    """TensorBoard projector dump after the val phase (reference
+    cvig_fov.py:475-479): the last val batch's surface embeddings plus each
+    overhead map's orientation-aligned crop for its own query, with the
+    denormalized network inputs as thumbnails (surface width-padded to the
+    polar map's width, reference :477)."""
+    if not isinstance(pipeline, FovPipeline):
+        return  # the reference dumps embeddings only in the FOV/semantic scripts
+    import jax.numpy as jnp
+
+    from witw_tpu.match.distance import paired_chord_distance
+    from witw_tpu.match.reference_impl import crop_overhead_materialized
+    from witw_tpu.ops.image import denormalize_images
+
+    batch = None
+    for batch in val_loader:  # reference uses the batch left over from the loop
+        pass
+    if batch is None:
+        return
+    data = {k: jnp.asarray(v) for k, v in batch.items() if k in ("surface", "overhead")}
+    surface, polar = pipeline._preprocess(data, rng, train=False)
+    s_emb = pipeline.surface_model.apply({"params": state.params["surface"]}, surface)
+    o_emb = pipeline.overhead_model.apply({"params": state.params["overhead"]}, polar)
+    _, orient = paired_chord_distance(o_emb, s_emb)
+    sw = s_emb.shape[2]
+    o_crop = crop_overhead_materialized(o_emb, orient[:, None], sw)[:, 0]
+    b = s_emb.shape[0]
+    vectors = np.concatenate(
+        [np.asarray(s_emb).reshape(b, -1), np.asarray(o_crop).reshape(b, -1)]
+    )
+    d = pipeline.cfg.data
+    # denormalize_images inverts the standardization only -> [0, 1] images
+    # (matching reference inverse_normalize, cvig_fov.py:151-154)
+    s_img = np.asarray(denormalize_images(surface, d.img_mean, d.img_std))
+    p_img = np.asarray(denormalize_images(polar, d.img_mean, d.img_std))
+    pad_w = p_img.shape[2] - s_img.shape[2]
+    if pad_w > 0:
+        s_img = np.pad(s_img, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+    label_imgs = np.clip(np.concatenate([s_img, p_img]), 0.0, 1.0)
+    # the projector requires square thumbnails (tensorflow/tensorboard#670)
+    h, w = label_imgs.shape[1:3]
+    if h != w:
+        side = max(h, w)
+        label_imgs = np.pad(
+            label_imgs, ((0, 0), (0, side - h), (0, side - w), (0, 0))
+        )
+    writer.embedding(
+        "val_embedding", vectors, label_imgs[..., :3], step=epoch + 1
+    )
 
 
 def test(
