@@ -79,12 +79,40 @@ def resize_host(img: np.ndarray, height: int, width: int) -> np.ndarray:
     return np.stack(chans, axis=-1)
 
 
+def _decode_pair(args):
+    """Worker-side decode+resize of one pair. Module-level so the process
+    pool pickles only this small args tuple per item — NOT the loader object
+    (whose pairs list can be hundreds of MB)."""
+    pair, surface_hw, overhead_hw, channels, dtype, skip_errors = args
+    try:
+        surface = decode_image(pair[0])
+        overhead = decode_image(pair[1])
+    except Exception:
+        if not skip_errors:
+            raise
+        surface = np.zeros((*surface_hw, channels), np.float32)
+        overhead = np.zeros((*overhead_hw, channels), np.float32)
+    surface = resize_host(surface, *surface_hw)
+    overhead = resize_host(overhead, *overhead_hw)
+    surface = _fix_channels(surface, channels)
+    overhead = _fix_channels(overhead, channels)
+    if dtype == np.uint8:
+        surface = np.clip(np.round(surface), 0, 255).astype(np.uint8)
+        overhead = np.clip(np.round(overhead), 0, 255).astype(np.uint8)
+    else:
+        surface = surface.astype(dtype)
+        overhead = overhead.astype(dtype)
+    return surface, overhead
+
+
 class PairLoader:
     """Iterates host batches {'surface': [B,H,W,C], 'overhead': [B,S,S,C]}.
 
     surface_hw / overhead_hw define the canonical decoded geometry shipped to
     the device. Epoch shuffling is seeded; drop_last mirrors the reference's
-    training loader (cvig_fov.py:402).
+    training loader (cvig_fov.py:402). The worker pool is created once and
+    persists across epochs (no per-epoch worker spawn/re-pickle); call
+    ``close()`` (or rely on interpreter exit) to shut it down.
     """
 
     def __init__(
@@ -125,6 +153,7 @@ class PairLoader:
         self.worker_mode = worker_mode
         self.skip_errors = skip_errors
         self.epoch = 0
+        self._pool: Optional[futures.Executor] = None
 
     def __len__(self) -> int:
         n = len(self.pairs)
@@ -132,26 +161,37 @@ class PairLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _load_one(self, pair: Tuple[str, str]) -> Tuple[np.ndarray, np.ndarray]:
+    def _get_pool(self) -> futures.Executor:
+        """Worker pool, created once and reused across epochs."""
+        if self._pool is None:
+            pool_cls = (
+                futures.ProcessPoolExecutor
+                if self.worker_mode == "process"
+                else futures.ThreadPoolExecutor
+            )
+            self._pool = pool_cls(self.num_workers)
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
         try:
-            surface = decode_image(pair[0])
-            overhead = decode_image(pair[1])
+            self.close()
         except Exception:
-            if not self.skip_errors:
-                raise
-            surface = np.zeros((*self.surface_hw, self.channels), np.float32)
-            overhead = np.zeros((*self.overhead_hw, self.channels), np.float32)
-        surface = resize_host(surface, *self.surface_hw)
-        overhead = resize_host(overhead, *self.overhead_hw)
-        surface = _fix_channels(surface, self.channels)
-        overhead = _fix_channels(overhead, self.channels)
-        if self.dtype == np.uint8:
-            surface = np.clip(np.round(surface), 0, 255).astype(np.uint8)
-            overhead = np.clip(np.round(overhead), 0, 255).astype(np.uint8)
-        else:
-            surface = surface.astype(self.dtype)
-            overhead = overhead.astype(self.dtype)
-        return surface, overhead
+            pass
+
+    def _load_one(self, pair: Tuple[str, str]) -> Tuple[np.ndarray, np.ndarray]:
+        return _decode_pair(
+            (pair, self.surface_hw, self.overhead_hw, self.channels,
+             self.dtype, self.skip_errors)
+        )
+
+    def _decode_args(self, pair: Tuple[str, str]):
+        return (pair, self.surface_hw, self.overhead_hw, self.channels,
+                self.dtype, self.skip_errors)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.pairs))
@@ -168,36 +208,32 @@ class PairLoader:
 
         out_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
-        pool_cls = (
-            futures.ProcessPoolExecutor
-            if self.worker_mode == "process"
-            else futures.ThreadPoolExecutor
-        )
+        pool = self._get_pool()  # persistent across epochs
 
         def producer():
             try:
-                with pool_cls(self.num_workers) as pool:
-                    for batch_idx in batches:
-                        if stop.is_set():
-                            return
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    args = [self._decode_args(self.pairs[i]) for i in batch_idx]
+                    if self.worker_mode == "process":
                         items = list(
                             pool.map(
-                                self._load_one,
-                                [self.pairs[i] for i in batch_idx],
-                                chunksize=max(1, len(batch_idx) // self.num_workers),
+                                _decode_pair, args,
+                                chunksize=max(1, len(args) // self.num_workers),
                             )
-                            if self.worker_mode == "process"
-                            else pool.map(self._load_one, [self.pairs[i] for i in batch_idx])
                         )
-                        surface = np.stack([s for s, _ in items])
-                        overhead = np.stack([o for _, o in items])
-                        out_q.put(
-                            {
-                                "surface": surface,
-                                "overhead": overhead,
-                                "idx": np.asarray(batch_idx, np.int32),
-                            }
-                        )
+                    else:
+                        items = list(pool.map(_decode_pair, args))
+                    surface = np.stack([s for s, _ in items])
+                    overhead = np.stack([o for _, o in items])
+                    out_q.put(
+                        {
+                            "surface": surface,
+                            "overhead": overhead,
+                            "idx": np.asarray(batch_idx, np.int32),
+                        }
+                    )
             except BaseException as err:  # propagate to the consumer
                 out_q.put(err)
                 return

@@ -30,6 +30,29 @@ from witw_tpu.train.metrics import MetricWriter
 from witw_tpu.train.pipeline import BaselinePipeline, FovPipeline, TrainState
 
 
+def device_prefetch(loader: Iterable, mesh=None, depth: int = 2):
+    """Move batches to device ``depth`` iterations ahead of consumption so
+    host->device transfer overlaps the previous step's compute (jax transfers
+    are async; the arrays materialize while the prior step runs). Yields
+    {'surface', 'overhead'} device arrays, sharded over ``mesh`` if given."""
+    import collections
+
+    import jax.numpy as jnp
+
+    buf = collections.deque()
+    for batch in loader:
+        data = {k: v for k, v in batch.items() if k in ("surface", "overhead")}
+        if mesh is not None:
+            data = shard_batch(data, mesh)
+        else:
+            data = jax.tree.map(jnp.asarray, data)
+        buf.append(data)
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def run_phase(
     pipeline,
     state: TrainState,
@@ -53,14 +76,11 @@ def run_phase(
     running_count = 0
     losses = []
     timer = None
-    for batch_i, batch in enumerate(loader):
-        count = len(batch["surface"])
+    for batch_i, batch in enumerate(device_prefetch(loader, mesh)):
+        count = int(batch["surface"].shape[0])
         if timer is None:
             timer = StepTimer(items_per_step=count)
         timer.tick()
-        batch = {k: v for k, v in batch.items() if k in ("surface", "overhead")}
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
         rng, step_rng = jax.random.split(rng)
         if train:
             state, metrics = pipeline.train_step(state, batch, step_rng)
@@ -225,10 +245,7 @@ def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=
         rng = jax.random.PRNGKey(0)
     surfaces = []
     overheads = []
-    for batch in loader:
-        data = {k: v for k, v in batch.items() if k in ("surface", "overhead")}
-        if mesh is not None:
-            data = shard_batch(data, mesh)
+    for data in device_prefetch(loader, mesh):
         rng, step_rng = jax.random.split(rng)
         s_emb, o_emb = pipeline.embed_step(state, data, step_rng)
         surfaces.append(_fetch_global(s_emb))
