@@ -100,3 +100,32 @@ def test_gallery_index_topk_and_persistence(rng, tmp_path):
     np.testing.assert_array_equal(idx2.meta["y"], idx.meta["y"])
     i2, d2, _ = idx2.search(s, k=5, gallery_chunk=64)
     np.testing.assert_allclose(d2, dists, rtol=1e-5, atol=1e-6)
+
+
+def test_index_score_all_matches_search_at_50k_scale(rng):
+    """score_all (the heatmap sweep engine) computes every gallery item's
+    distance chunkwise in bounded device memory; at 50k gallery items its
+    distances/orientations agree with the chunked top-k search for the top
+    matches and with a dense computation on a slice."""
+    from witw_tpu.evaluation.index import GalleryIndex
+
+    n, h, w, c = 50_000, 1, 8, 2
+    gal = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    q = rng.standard_normal((1, h, 4, c)).astype(np.float32)
+    index = GalleryIndex(gal)
+
+    d_all, o_all = index.score_all(q, gallery_chunk=4096)
+    assert d_all.shape == (n, 1) and o_all.shape == (n, 1)
+    assert np.all(np.isfinite(d_all))
+
+    idx, d_top, o_top = index.search(q, k=10, gallery_chunk=4096)
+    np.testing.assert_allclose(d_all[idx[0], 0], d_top[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(o_all[idx[0], 0], o_top[0])
+    # dense oracle on a slice
+    from witw_tpu.match.correlation import circular_correlation
+    from witw_tpu.match.distance import chord_distance
+
+    sl = slice(1000, 1032)
+    corr = circular_correlation(jnp.asarray(gal[sl]), jnp.asarray(q))
+    d_dense, o_dense = chord_distance(jnp.asarray(gal[sl]), jnp.asarray(q), corr)
+    np.testing.assert_allclose(d_all[sl], np.asarray(d_dense), rtol=1e-4, atol=1e-5)

@@ -84,6 +84,43 @@ class GalleryIndex:
             self._wsq[sw] = window_sq_norms(jnp.asarray(self.embeds), sw)
         return self._fo, self._wsq[sw]
 
+    def score_all(
+        self, surface_embeds: np.ndarray, gallery_chunk: int = 2048
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Distances + orientations of EVERY gallery item against every query,
+        computed chunkwise in bounded device memory (the heatmap sweep needs
+        all tile scores, not top-k; reference heatmap.py:171-177 does this as
+        one gallery-sized correlation). Returns ([N, Q] float32, [N, Q] int32).
+        """
+        n = len(self.embeds)
+        q = surface_embeds.shape[0]
+        sw = surface_embeds.shape[2]
+        w = self.embeds.shape[2]
+        s = jnp.asarray(surface_embeds, jnp.float32)
+        s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
+        fs = jnp.fft.rfft(s_pad, axis=2)
+        s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
+
+        out_d = np.empty((n, q), np.float32)
+        out_o = np.empty((n, q), np.int32)
+        for start in range(0, n, gallery_chunk):
+            stop = min(start + gallery_chunk, n)
+            real = stop - start
+            # chunk FFT/norms computed here from the host-resident embeds:
+            # device memory stays O(gallery_chunk), independent of N
+            gal_c = np.asarray(self.embeds[start:stop], np.float32)
+            if real < gallery_chunk and n > gallery_chunk:
+                gal_c = np.pad(
+                    gal_c, ((0, gallery_chunk - real), (0, 0), (0, 0), (0, 0))
+                )
+            gal_c = jnp.asarray(gal_c)
+            fo_c = jnp.fft.rfft(gal_c, axis=2)
+            wsq_c = window_sq_norms(gal_c, sw)
+            d, orient = _chunk_distances(fo_c, wsq_c, fs, s_norm, w=w)
+            out_d[start:stop] = np.asarray(d)[:real]
+            out_o[start:stop] = np.asarray(orient)[:real]
+        return out_d, out_o
+
     def search(
         self,
         surface_embeds: np.ndarray,

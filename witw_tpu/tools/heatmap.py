@@ -94,18 +94,6 @@ def sweep(
         ):
             cached_index = None  # stale cache for a different grid
 
-    tiles = None
-    if cached_index is None:
-        # --- windowed tile reads from the strip ---
-        sat = GeoTiff(sat_path)
-        tiles = np.zeros(
-            (len(windows), d.overhead_size, d.overhead_size, 3), np.float32
-        )
-        for i, (ulx, uly, lrx, lry) in enumerate(windows):
-            tile = sat.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
-            tiles[i] = resample(tile[..., :3], d.overhead_size, d.overhead_size)
-        sat.close()
-
     # --- query photo ---
     photo = decode_image(photo_path)
     photo = resize_host(photo, d.surface_height, d.surface_width)[None]
@@ -129,34 +117,38 @@ def sweep(
 
     s_emb = np.asarray(embed_surface(state.params, jnp.asarray(photo)))
     if cached_index is not None:
-        o_emb = cached_index.embeds
+        index = cached_index
     else:
+        # --- streaming tile extraction + embedding: only one batch of tiles
+        # is ever resident (a 100k-tile sweep at 256^2 would need ~75 GB if
+        # materialized up front; embeddings are ~50x smaller) ---
         o_parts = []
-        pad_n = -(-n // batch_size) * batch_size
-        tiles_padded = np.concatenate(
-            [tiles, np.zeros((pad_n - n, *tiles.shape[1:]), np.float32)]
+        sat = GeoTiff(sat_path)
+        buf = np.zeros(
+            (batch_size, d.overhead_size, d.overhead_size, 3), np.float32
         )
-        for start in range(0, pad_n, batch_size):
+        for start in range(0, n, batch_size):
+            stop = min(start + batch_size, n)
+            for j, (ulx, uly, lrx, lry) in enumerate(windows[start:stop]):
+                tile = sat.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
+                buf[j] = resample(tile[..., :3], d.overhead_size, d.overhead_size)
+            buf[stop - start:] = 0.0
             o_parts.append(
-                np.asarray(
-                    embed_overhead(state.params, jnp.asarray(tiles_padded[start : start + batch_size]))
-                )
+                np.asarray(embed_overhead(state.params, jnp.asarray(buf)))[: stop - start]
             )
+        sat.close()
         o_emb = np.concatenate(o_parts)[:n]
+        index = GalleryIndex(o_emb, meta={"x": centers_e, "y": centers_n})
         if index_cache:
-            GalleryIndex(
-                o_emb, meta={"x": centers_e, "y": centers_n}
-            ).save(index_cache)
+            index.save(index_cache)
 
-    # --- one-query correlation + distance over the whole tile gallery ---
-    from witw_tpu.match.correlation import circular_correlation
-    from witw_tpu.match.distance import chord_distance
-
-    corr = circular_correlation(jnp.asarray(o_emb), jnp.asarray(s_emb), method="fft")
-    distances, orientations = chord_distance(jnp.asarray(o_emb), jnp.asarray(s_emb), corr)
-    distances = np.asarray(distances)[:, 0]
-    orientations = np.asarray(orientations)[:, 0]
-    out_width = o_emb.shape[2]
+    # --- one-query distances over the whole tile gallery, chunkwise in
+    # bounded device memory (GalleryIndex.score_all; replaces the reference's
+    # single gallery-sized correlation, heatmap.py:171-177) ---
+    distances, orientations = index.score_all(s_emb, gallery_chunk=2048)
+    distances = distances[:, 0]
+    orientations = orientations[:, 0]
+    out_width = index.embeds.shape[2]
     orientation_deg = orientations * 360.0 / out_width - 180.0
     scores = np.exp(10.0 * (1.0 - distances))
 
