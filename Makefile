@@ -5,7 +5,19 @@ DATA ?= ./data
 FOV ?= 360
 IMAGE ?= witw-tpu
 
-.PHONY: build native test bench train_cvusa test_cvusa train_witw test_witw
+.PHONY: build native test bench train_cvusa test_cvusa train_witw test_witw parity
+
+# Recall-parity gate vs the reference's trained weights (BASELINE.md):
+#   make parity DATA=/path/to/cvusa WEIGHTS=/path/to/reference/weights \
+#               [REF_METRICS=ref.json] [FOV=360]
+WEIGHTS ?= ./weights
+REF_METRICS ?=
+parity:
+	python -m witw_tpu.tools.parity --dataset cvusa --fov $(FOV) \
+	    --test-csv $(DATA)/val-19zl.csv \
+	    --surface-pth $(WEIGHTS)/fov_$(FOV)_surface_best.pth \
+	    --overhead-pth $(WEIGHTS)/fov_$(FOV)_overhead_best.pth \
+	    $(if $(REF_METRICS),--reference-metrics $(REF_METRICS),)
 
 native:
 	$(MAKE) -C witw_tpu/native

@@ -168,3 +168,66 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
         want_px = round((bounds[2] - bounds[0]) / 0.3)
         assert abs(out.width - want_px) <= 1
         assert abs(out.height - round((bounds[3] - bounds[1]) / 0.3)) <= 1
+
+
+@pytest.mark.slow
+def test_parity_harness_plumbing(tmp_path, rng):
+    """End-to-end parity-harness run on the synthetic fixture: fake reference
+    tower .pth checkpoints -> conversion -> full eval -> 0.5-pt gate. Proves
+    the plumbing so a real-data run only needs mounted CSVs + weights
+    (BASELINE.md gate; VERDICT r1 missing #7)."""
+    torch = pytest.importorskip("torch")
+    import dataclasses
+    import jax
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.data import write_synthetic_dataset
+    from witw_tpu.models.backbones.vgg16 import VGG16_CONVS
+    from witw_tpu.models.fov_dsm import HEAD_CONVS
+    from witw_tpu.tools.parity import run_parity
+
+    csv_path = write_synthetic_dataset(
+        str(tmp_path / "data"), n=6, schema="cvusa",
+        surface_hw=(128, 512), overhead_hw=(256, 256),
+    )
+
+    # Fake reference checkpoints in the reference's key format
+    # (model.features.N.layer.{weight,bias}, OIHW) with correct shapes.
+    g = torch.Generator().manual_seed(0)
+    def fake_tower(path):
+        sd = {}
+        cin = 3
+        for idx, cout in VGG16_CONVS:
+            sd[f"model.features.{idx}.layer.weight"] = torch.randn(
+                (cout, cin, 3, 3), generator=g) * 0.05
+            sd[f"model.features.{idx}.layer.bias"] = torch.randn(
+                (cout,), generator=g) * 0.01
+            cin = cout
+        for name, cout, _, _ in HEAD_CONVS:
+            idx = int(name.split("_")[1])
+            sd[f"model.features.{idx}.weight"] = torch.randn(
+                (cout, cin, 3, 3), generator=g) * 0.05
+            sd[f"model.features.{idx}.bias"] = torch.randn((cout,), generator=g) * 0.01
+            cin = cout
+        torch.save(sd, path)
+
+    s_pth = str(tmp_path / "fov_360_surface_best.pth")
+    o_pth = str(tmp_path / "fov_360_overhead_best.pth")
+    fake_tower(s_pth)
+    fake_tower(o_pth)
+
+    cfg = fov_experiment(dataset="cvusa", fov=360)
+    ds = dataclasses.replace(cfg.data.dataset, test_csv=csv_path)
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, dataset=ds),
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"),
+        eval=dataclasses.replace(cfg.eval, batch_size=2),
+    )
+    report = run_parity(cfg, s_pth, o_pth, verbose=False)
+    res = report["witw_tpu"]
+    assert res["locations"] == 6
+    assert all(np.isfinite(res[k]) for k in ("top_1", "avg_rank"))
+
+    # side-by-side + gate path: compare against itself -> delta 0, PASS
+    report2 = run_parity(cfg, s_pth, o_pth, reference_metrics=res, verbose=True)
+    assert report2["gate_pass"] and report2["recall1_delta_pt"] == 0.0
