@@ -36,6 +36,39 @@ def normalize_images(
     return (x * scale - mean_arr) / std_arr
 
 
+def normalize_images_masked_bias(
+    x: jax.Array,
+    mean: Sequence[float],
+    std: Sequence[float],
+    bias_mask: jax.Array,
+    scale_channels: int | None = None,
+) -> jax.Array:
+    """normalize_images with the additive term gated by a per-pixel mask:
+    ``x*k + b*mask`` instead of ``(x*k + b)*mask``.
+
+    Used by the polar-before-normalize path: at exact-boundary polar samples
+    the gather weights are all zero (clip-then-weight, ops/polar.py), so the
+    multiplicative part is already 0 there — only the normalization bias must
+    be masked to equal reference normalize-then-polar exactly. Folding the
+    mask into a precomputed bias map makes the whole correction one fused
+    multiply-add (a separate post-normalize mask multiply cost ~5% of the
+    embed+match step at CVUSA geometry).
+
+    bias_mask: [H, W] (or broadcastable) 0/1 float mask.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    c = x.shape[-1]
+    if scale_channels is None:
+        scale_channels = c
+    scale = jnp.where(jnp.arange(c) < scale_channels, 1.0 / 255.0, 1.0)
+    mean_arr = jnp.asarray(mean, jnp.float32)
+    std_arr = jnp.asarray(std, jnp.float32)
+    k = scale / std_arr
+    b = -mean_arr / std_arr
+    b_map = jnp.asarray(bias_mask, jnp.float32)[..., None] * b  # [H, W, C]
+    return x * k + b_map
+
+
 def denormalize_images(
     x: jax.Array, mean: Sequence[float], std: Sequence[float]
 ) -> jax.Array:

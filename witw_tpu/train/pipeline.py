@@ -32,7 +32,11 @@ from witw_tpu.match.losses import dsm_triplet_loss, exhaustive_minibatch_triplet
 from witw_tpu.models.baseline import BaselineEncoder
 from witw_tpu.models.fov_dsm import FovDsm, fov_dsm_trainable_mask
 from witw_tpu.ops.fov import fov_crop, random_fov_starts
-from witw_tpu.ops.image import normalize_images, repeat_rows
+from witw_tpu.ops.image import (
+    normalize_images,
+    normalize_images_masked_bias,
+    repeat_rows,
+)
 from witw_tpu.ops.polar import polar_grid, polar_transform
 from witw_tpu.ops.rotation import synced_rotation
 
@@ -122,19 +126,22 @@ class FovPipeline:
         # Polar-transform the raw tile first with a bf16 gather (exact for
         # uint8-valued pixels, halves the gather's HBM traffic), then
         # normalize: the per-channel affine commutes with the transform where
-        # bilinear weights sum to 1 (everywhere except exact-boundary samples,
-        # where the reference's clip-then-weight order yields 0 — restored by
-        # the wsum mask below). Reference order is normalize-then-polar
-        # (cvig_fov.py:393-397) — this composition is mathematically equal.
+        # bilinear weights sum to 1. At exact-boundary samples the reference's
+        # clip-then-weight order zeroes the output; the gather already
+        # produces 0 there (all four weights vanish), so only the
+        # normalization BIAS needs masking — folded into one fused
+        # multiply-add via a precomputed bias map. Reference order is
+        # normalize-then-polar (cvig_fov.py:393-397) — mathematically equal.
         polar = polar_transform(
             overhead, d.surface_height, d.surface_width_max,
             gather_dtype=jnp.bfloat16,
         )
-        polar = normalize_images(polar, d.img_mean, d.img_std, scale_ch)
         wsum = polar_grid(
             d.surface_height, d.surface_width_max, overhead.shape[1]
         ).wsum
-        polar = polar * jnp.asarray(wsum)[None, :, :, None]
+        polar = normalize_images_masked_bias(
+            polar, d.img_mean, d.img_std, wsum, scale_ch
+        )
         return surface, polar
 
     # ---- loss ----
