@@ -41,3 +41,69 @@ def test_quantized_kernels_are_int8(rng):
     k = np.asarray(variables["params"]["vgg"]["conv_0"]["kernel"])
     kq = qparams["vgg"]["conv_0"]["kernel_q"].astype(np.float32) * qparams["vgg"]["conv_0"]["scale"]
     assert np.max(np.abs(k - kq)) <= np.max(qparams["vgg"]["conv_0"]["scale"]) * 0.51
+
+
+@pytest.mark.parametrize("circ", [False, True])
+def test_static_quantized_forward_close_to_f32(rng, circ):
+    """Static-scale int8 path: one fused requant per conv, embedding cosine
+    vs the f32 tower > 0.99 after calibration on matching data."""
+    from witw_tpu.models.quantize import (
+        calibrate_fov_activation_scales,
+        prepare_static_qparams,
+        quantized_fov_forward_static,
+    )
+
+    cfg = FovDsmModelConfig(compute_dtype="float32")
+    model = FovDsm(cfg, circ_padding=circ)
+    x = rng.standard_normal((2, 32, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    want = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    params = jax.tree.map(np.asarray, variables["params"])
+    calib = [rng.standard_normal((2, 32, 64, 3)).astype(np.float32) for _ in range(2)]
+    scales = calibrate_fov_activation_scales(params, calib + [x], circ_padding=circ)
+    sq = jax.tree.map(jnp.asarray, prepare_static_qparams(params, scales))
+    got = np.asarray(quantized_fov_forward_static(sq, jnp.asarray(x), circ_padding=circ))
+
+    assert got.shape == want.shape
+    cos = np.sum(got * want) / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.99, cos
+
+
+def test_static_quantized_rank_agreement(rng):
+    """Retrieval ranks from the static-int8 towers agree with the f32 towers
+    on planted-structure data (the serving-path acceptance check)."""
+    from witw_tpu.evaluation.gallery import FovGalleryEvaluator
+    from witw_tpu.models.quantize import (
+        calibrate_fov_activation_scales,
+        prepare_static_qparams,
+        quantized_fov_forward_static,
+    )
+
+    cfg = FovDsmModelConfig(compute_dtype="float32")
+    surf_m = FovDsm(cfg, circ_padding=False)
+    over_m = FovDsm(cfg, circ_padding=True)
+    n = 12
+    surf = rng.standard_normal((n, 32, 64, 3)).astype(np.float32)
+    # planted: overhead = surface content (same image -> strong true match)
+    over = surf + 0.1 * rng.standard_normal((n, 32, 64, 3)).astype(np.float32)
+    vs = surf_m.init(jax.random.PRNGKey(0), jnp.asarray(surf))
+    vo = over_m.init(jax.random.PRNGKey(1), jnp.asarray(over))
+
+    s_f32 = np.asarray(surf_m.apply(vs, jnp.asarray(surf)))
+    o_f32 = np.asarray(over_m.apply(vo, jnp.asarray(over)))
+
+    ps = jax.tree.map(np.asarray, vs["params"])
+    po = jax.tree.map(np.asarray, vo["params"])
+    sq_s = jax.tree.map(jnp.asarray, prepare_static_qparams(
+        ps, calibrate_fov_activation_scales(ps, [surf], False)))
+    sq_o = jax.tree.map(jnp.asarray, prepare_static_qparams(
+        po, calibrate_fov_activation_scales(po, [over], True)))
+    s_q = np.asarray(quantized_fov_forward_static(sq_s, jnp.asarray(surf), False))
+    o_q = np.asarray(quantized_fov_forward_static(sq_o, jnp.asarray(over), True))
+
+    ev = FovGalleryEvaluator(query_block=4, gallery_chunk=4)
+    r_f32 = ev.ranks(o_f32, s_f32)
+    r_q = ev.ranks(o_q, s_q)
+    # top-1 recall must agree within one item on this small planted set
+    assert abs(int(np.sum(r_f32 <= 1)) - int(np.sum(r_q <= 1))) <= 1

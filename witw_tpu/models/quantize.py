@@ -129,3 +129,157 @@ def quantize_pipeline(pipeline, state):
         jax.tree.map(jnp.asarray, quantize_fov_params(params["surface"])),
         jax.tree.map(jnp.asarray, quantize_fov_params(params["overhead"])),
     )
+
+
+# ---------------------------------------------------------------------------
+# Static-scale variant: activation scales calibrated offline, requantization
+# folded into one per-channel int32 -> int8 epilogue per conv (no per-batch
+# abs-max reductions or float round-trips between layers).
+# ---------------------------------------------------------------------------
+
+_CONV_ORDER = tuple(f"conv_{i}" for i, _ in
+                    [c for blk in VGG16_BLOCKS for c in blk]) + tuple(
+                        name for name, _, _, _ in HEAD_CONVS)
+
+
+def calibrate_fov_activation_scales(params, batches, circ_padding=False):
+    """Run the f32 tower over calibration batches recording each conv input's
+    abs-max; returns {'input': s0, 'conv_N': s_after_that_conv, ...} where the
+    scale stored under a conv name is the abs-max of its (post-ReLU) OUTPUT —
+    i.e. the next conv's input. ``batches``: iterable of normalized NHWC
+    float inputs."""
+    maxes = {k: 0.0 for k in _CONV_ORDER}
+    in_max = 0.0
+    for x in batches:
+        h = jnp.asarray(x, jnp.float32)
+        in_max = max(in_max, float(jnp.max(jnp.abs(h))))
+        w_pad = (0, 0) if circ_padding else (1, 1)
+        for block_i, block in enumerate(VGG16_BLOCKS):
+            if circ_padding:
+                h = wrap_pad_width(h, len(block))
+            for torch_idx, _ in block:
+                kv = params["vgg"][f"conv_{torch_idx}"]
+                h = jax.lax.conv_general_dilated(
+                    h, jnp.asarray(kv["kernel"], jnp.float32), (1, 1),
+                    (((1, 1), w_pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + jnp.asarray(kv["bias"], jnp.float32)
+                h = jax.nn.relu(h)
+                name = f"conv_{torch_idx}"
+                maxes[name] = max(maxes[name], float(jnp.max(jnp.abs(h))))
+            if block_i < 3:
+                h = jax.lax.reduce_window(
+                    h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+                )
+        if circ_padding:
+            h = wrap_pad_width(h, len(HEAD_CONVS))
+        for name, _, strides, relu_after in HEAD_CONVS:
+            kv = params[name]
+            h = jax.lax.conv_general_dilated(
+                h, jnp.asarray(kv["kernel"], jnp.float32), strides,
+                (((1, 1), w_pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(kv["bias"], jnp.float32)
+            if relu_after:
+                h = jax.nn.relu(h)
+            maxes[name] = max(maxes[name], float(jnp.max(jnp.abs(h))))
+    scales = {"input": max(in_max, 1e-12) / 127.0}
+    for k, v in maxes.items():
+        scales[k] = max(v, 1e-12) / 127.0
+    return scales
+
+
+def prepare_static_qparams(params, act_scales):
+    """Fold weights + calibrated scales into per-conv static tables:
+    kernel_q int8 [3,3,Ci,Co], bias_q int32 [Co] (bias in the conv's int32
+    accumulator domain), requant_m float32 [Co] (acc -> next layer's int8
+    domain), dequant float32 [Co] (acc -> f32, for the final conv)."""
+    out = {"vgg": {}}
+    s_in = act_scales["input"]
+    prev = s_in
+    for idx, name in enumerate(_CONV_ORDER):
+        kv = params["vgg"][name] if name in params.get("vgg", {}) else params[name]
+        k = np.asarray(kv["kernel"], np.float32)
+        s_w = np.maximum(np.max(np.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
+        kq = np.clip(np.round(k / s_w), -127, 127).astype(np.int8)
+        acc_scale = prev * s_w  # int32 acc unit -> f32
+        bias_q = np.round(np.asarray(kv["bias"], np.float32) / acc_scale).astype(np.int32)
+        nxt = act_scales[name]
+        entry = {
+            "kernel_q": kq,
+            "bias_q": bias_q,
+            "requant_m": (acc_scale / nxt).astype(np.float32),
+            "dequant": acc_scale.astype(np.float32),
+            "bias_f": np.asarray(kv["bias"], np.float32),
+        }
+        (out["vgg"] if name in params.get("vgg", {}) else out)[name] = entry
+        prev = nxt
+    out["input_scale"] = np.float32(s_in)
+    return out
+
+
+def _requant(acc, m, relu):
+    """int32 conv accumulator -> next layer's int8, ReLU folded into the
+    clip's lower bound."""
+    y = jnp.round(acc.astype(jnp.float32) * m)
+    lo = 0.0 if relu else -127.0
+    return jnp.clip(y, lo, 127.0).astype(jnp.int8)
+
+
+def quantized_fov_forward_static(sq, x, circ_padding: bool = False):
+    """Static-scale int8 forward of the FOV-DSM tower (inference only).
+
+    Exactly one int8 conv + one fused int32->int8 epilogue per layer; no
+    dynamic abs-max reductions. x: normalized NHWC float input. Returns the
+    f32 [B, h, w, 16] embedding map (same contract as FovDsm eval)."""
+    w_pad = (0, 0) if circ_padding else (1, 1)
+    x = jnp.asarray(x, jnp.float32)
+    h = jnp.clip(jnp.round(x / sq["input_scale"]), -127, 127).astype(jnp.int8)
+
+    def qconv(h_q, entry, strides=(1, 1)):
+        return jax.lax.conv_general_dilated(
+            h_q, entry["kernel_q"], strides, ((1, 1), w_pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ) + entry["bias_q"]
+
+    for block_i, block in enumerate(VGG16_BLOCKS):
+        if circ_padding:
+            h = wrap_pad_width(h, len(block))
+        for torch_idx, _ in block:
+            entry = sq["vgg"][f"conv_{torch_idx}"]
+            h = _requant(qconv(h, entry), entry["requant_m"], relu=True)
+        if block_i < 3:
+            h = jax.lax.reduce_window(
+                h, jnp.int8(-127), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+    if circ_padding:
+        h = wrap_pad_width(h, len(HEAD_CONVS))
+    for i, (name, _, strides, relu_after) in enumerate(HEAD_CONVS):
+        entry = sq[name]
+        acc = qconv(h, entry, strides)
+        if i + 1 < len(HEAD_CONVS):
+            h = _requant(acc, entry["requant_m"], relu=relu_after)
+        else:
+            # final conv: dequantize (bias already added in acc domain; use
+            # the float bias for exactness instead)
+            acc = acc - entry["bias_q"]
+            y = acc.astype(jnp.float32) * entry["dequant"] + entry["bias_f"]
+            return jax.nn.relu(y) if relu_after else y
+
+
+def quantize_pipeline_static(pipeline, state, calib_batches):
+    """Calibrate + fold both towers; returns (sq_surface, sq_overhead) for
+    quantized_fov_forward_static. ``calib_batches``: iterable of
+    (surface_norm, polar_norm) f32 NHWC pairs (preprocessed)."""
+    params = jax.tree.map(np.asarray, state.params)
+    surf_b = [s for s, _ in calib_batches]
+    polar_b = [p for _, p in calib_batches]
+    s_scales = calibrate_fov_activation_scales(params["surface"], surf_b, False)
+    o_scales = calibrate_fov_activation_scales(params["overhead"], polar_b, True)
+    sq_s = prepare_static_qparams(params["surface"], s_scales)
+    sq_o = prepare_static_qparams(params["overhead"], o_scales)
+    return (
+        jax.tree.map(jnp.asarray, sq_s),
+        jax.tree.map(jnp.asarray, sq_o),
+    )
