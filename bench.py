@@ -24,6 +24,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -34,7 +35,7 @@ SCAN_STEPS = 4
 REPS = 3
 
 
-def main():
+def main(int8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -63,13 +64,45 @@ def main():
         ).astype(np.float32)
     )
 
-    def embed_match(params, batch):
-        surface, polar = pipeline._preprocess(batch, jax.random.PRNGKey(0), train=False)
-        s_emb = pipeline.surface_model.apply({"params": params["surface"]}, surface)
-        o_emb = pipeline.overhead_model.apply({"params": params["overhead"]}, polar)
-        corr = circular_correlation(o_emb, s_emb)
-        distance, _ = chord_distance(o_emb, s_emb, corr)
-        return distance
+    if int8:
+        # Opt-in static-int8 serving path (python bench.py --int8): calibrated
+        # scales, fused requant epilogues; rank agreement with the f32 towers
+        # is test-gated (tests/test_quantize.py). Headline default stays bf16.
+        from witw_tpu.models.quantize import (
+            calibrate_fov_activation_scales,
+            prepare_static_qparams,
+            quantized_fov_forward_static,
+        )
+
+        s_in, p_in = pipeline._preprocess(
+            {"surface": surf[0][:8], "overhead": over[0][:8]},
+            jax.random.PRNGKey(0), train=False,
+        )
+        params_np = jax.tree.map(np.asarray, state.params)
+        sq_s = jax.tree.map(jnp.asarray, prepare_static_qparams(
+            params_np["surface"],
+            calibrate_fov_activation_scales(params_np["surface"], [np.asarray(s_in)], False),
+        ))
+        sq_o = jax.tree.map(jnp.asarray, prepare_static_qparams(
+            params_np["overhead"],
+            calibrate_fov_activation_scales(params_np["overhead"], [np.asarray(p_in)], True),
+        ))
+
+        def embed_match(params, batch):
+            surface, polar = pipeline._preprocess(batch, jax.random.PRNGKey(0), train=False)
+            s_emb = quantized_fov_forward_static(sq_s, surface, False)
+            o_emb = quantized_fov_forward_static(sq_o, polar, True)
+            corr = circular_correlation(o_emb, s_emb)
+            distance, _ = chord_distance(o_emb, s_emb, corr)
+            return distance
+    else:
+        def embed_match(params, batch):
+            surface, polar = pipeline._preprocess(batch, jax.random.PRNGKey(0), train=False)
+            s_emb = pipeline.surface_model.apply({"params": params["surface"]}, surface)
+            o_emb = pipeline.overhead_model.apply({"params": params["overhead"]}, polar)
+            corr = circular_correlation(o_emb, s_emb)
+            distance, _ = chord_distance(o_emb, s_emb, corr)
+            return distance
 
     @jax.jit
     def scan_steps(params, surf, over):
@@ -103,7 +136,9 @@ def main():
                 "metric": (
                     "embed+match image pairs/sec/chip "
                     "(FOV-DSM twin towers + circular correlation + chord distance, "
-                    "CVUSA geometry, batch 128, device-side, hoist-proof varying inputs)"
+                    "CVUSA geometry, batch 128, device-side, hoist-proof varying inputs"
+                    + (", static-int8 serving path" if int8 else "")
+                    + ")"
                 ),
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
@@ -114,4 +149,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(int8="--int8" in sys.argv[1:])

@@ -52,6 +52,19 @@ def build_loader(cfg: ExperimentConfig, pairs, shuffle, drop_last, batch_size=No
     )
 
 
+def _auto_mesh(batch_size: int):
+    """Data mesh over all local devices when the batch divides evenly;
+    single-device runs (and awkward batch sizes) stay unsharded."""
+    import jax
+
+    from witw_tpu.parallel.mesh import make_mesh
+
+    n = jax.device_count()
+    if n > 1 and batch_size % n == 0:
+        return make_mesh(n_data=n)
+    return None
+
+
 def run_train(
     cfg: ExperimentConfig,
     tag: str,
@@ -70,7 +83,8 @@ def run_train(
     with trace_profile(profile_dir):
         return loop.train(
             cfg, pipeline, train_loader, val_loader,
-            num_epochs=num_epochs, checkpointer=ckpt, writer=writer,
+            num_epochs=num_epochs, mesh=_auto_mesh(cfg.train.batch_size),
+            checkpointer=ckpt, writer=writer,
             handle_signals=True,
         )
 
@@ -83,7 +97,10 @@ def run_test(cfg: ExperimentConfig, tag: str):
     pipeline = make_pipeline(cfg)
     ckpt = Checkpointer(os.path.join(cfg.train.checkpoint_dir, tag))
     writer = MetricWriter(os.path.join(cfg.train.tensorboard_dir, tag, "test"))
-    return loop.test(cfg, pipeline, test_loader, checkpointer=ckpt, writer=writer)
+    return loop.test(
+        cfg, pipeline, test_loader, mesh=_auto_mesh(cfg.eval.batch_size),
+        checkpointer=ckpt, writer=writer,
+    )
 
 
 def base_parser(with_fov: bool) -> argparse.ArgumentParser:
@@ -109,6 +126,11 @@ def base_parser(with_fov: bool) -> argparse.ArgumentParser:
         "--profile-dir", default=None,
         help="Write a jax.profiler device trace for the run (TensorBoard-compatible)",
     )
+    parser.add_argument(
+        "--shard-gallery", action="store_true",
+        help="Retrieval eval keeps the gallery resident, sharded over every "
+             "mesh device (100k+-tile mode); default shards the query axis",
+    )
     return parser
 
 
@@ -125,4 +147,6 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataset=ds))
     if args.batch_size:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
+    if getattr(args, "shard_gallery", False):
+        cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, shard_gallery=True))
     return cfg

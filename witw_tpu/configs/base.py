@@ -166,6 +166,11 @@ class EvalConfig:
     # Query block size for the blockwise query x gallery distance computation.
     query_block: int = 256
     topk: Tuple[int, ...] = (1, 5, 10)
+    # Keep the gallery resident, physically sharded over every mesh device
+    # (shard_map sweep with psum'd rank counts) instead of sharding the query
+    # axis — the 100k+-tile scaling mode (SURVEY.md §5.7). Needs a mesh.
+    shard_gallery: bool = False
+    gallery_chunk: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,12 +39,17 @@ def device_prefetch(loader: Iterable, mesh=None, depth: int = 2):
 
     import jax.numpy as jnp
 
+    from witw_tpu.parallel.mesh import DATA_AXIS
+
     buf = collections.deque()
     for batch in loader:
         data = {k: v for k, v in batch.items() if k in ("surface", "overhead")}
-        if mesh is not None:
+        n = len(next(iter(data.values())))
+        if mesh is not None and n % mesh.shape[DATA_AXIS] == 0:
             data = shard_batch(data, mesh)
         else:
+            # straggler batch not divisible by the data axis: replicate
+            # (correctness first; only the last partial batch hits this)
             data = jax.tree.map(jnp.asarray, data)
         buf.append(data)
         if len(buf) >= depth:
@@ -328,7 +333,12 @@ def test(
     s_emb, o_emb = embed_all(pipeline, state, test_loader, mesh, rng)
 
     if isinstance(pipeline, FovPipeline):
-        evaluator = FovGalleryEvaluator(mesh=mesh, query_block=cfg.eval.query_block)
+        evaluator = FovGalleryEvaluator(
+            mesh=mesh,
+            query_block=cfg.eval.query_block,
+            gallery_chunk=cfg.eval.gallery_chunk,
+            shard_gallery=cfg.eval.shard_gallery and mesh is not None,
+        )
         ranks = evaluator.ranks(o_emb, s_emb)
     else:
         ranks = euclidean_ranks(o_emb, s_emb)
