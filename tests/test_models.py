@@ -158,3 +158,42 @@ def test_semantic_five_channel_input():
     out = model.apply(v, jnp.zeros((1, 32, 64, 5)))
     assert out.shape[-1] == 16
     assert v["params"]["vgg"]["conv_0"]["kernel"].shape[2] == 5
+
+
+def test_frozen_prefix_stop_gradient_identical_trainable_grads(rng):
+    """The stop_gradient at block 4's input changes no trainable-param
+    gradient bitwise (frozen-prefix grads were discarded by the optimizer
+    mask anyway) — it only removes their backward compute."""
+    import dataclasses
+
+    from witw_tpu.configs import FovDsmModelConfig
+    from witw_tpu.models import FovDsm
+
+    cfg_on = FovDsmModelConfig(compute_dtype="float32", freeze_backbone=True)
+    cfg_off = dataclasses.replace(cfg_on, freeze_backbone=False)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 3)).astype(np.float32))
+    m_on = FovDsm(cfg_on, circ_padding=False)
+    m_off = FovDsm(cfg_off, circ_padding=False)
+    v = m_on.init(jax.random.PRNGKey(0), x)
+
+    def loss(model):
+        def f(params):
+            y = model.apply({"params": params}, x)
+            return jnp.sum(y * y)
+        return f
+
+    g_on = jax.grad(loss(m_on))(v["params"])
+    g_off = jax.grad(loss(m_off))(v["params"])
+    # head + block4 grads identical
+    for name in ("conv_23", "conv_25", "conv_27"):
+        np.testing.assert_array_equal(
+            np.asarray(g_on[name]["kernel"]), np.asarray(g_off[name]["kernel"])
+        )
+    for idx in (17, 19, 21):
+        np.testing.assert_array_equal(
+            np.asarray(g_on["vgg"][f"conv_{idx}"]["kernel"]),
+            np.asarray(g_off["vgg"][f"conv_{idx}"]["kernel"]),
+        )
+    # frozen-prefix grads are exactly zero with the stop_gradient
+    assert float(jnp.sum(jnp.abs(g_on["vgg"]["conv_0"]["kernel"]))) == 0.0
+    assert float(jnp.sum(jnp.abs(g_off["vgg"]["conv_0"]["kernel"]))) > 0.0

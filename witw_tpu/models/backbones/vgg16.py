@@ -56,20 +56,33 @@ def wrap_pad_width(x: jnp.ndarray, halo: int) -> jnp.ndarray:
 
 
 class Vgg16Features(nn.Module):
-    """VGG16 conv1_1 .. conv4_3 (+ReLU), 3 maxpools; output stride 8."""
+    """VGG16 conv1_1 .. conv4_3 (+ReLU), 3 maxpools; output stride 8.
+
+    ``frozen_prefix`` inserts a stop_gradient at block 4's input. When every
+    block-1..3 param is frozen (the reference's idx<17 rule,
+    cvig_fov.py:274-278), no gradient is ever consumed upstream of that point
+    — the optimizer mask zeroes them — so skipping the backward pass through
+    blocks 1-3 is numerically identical for every trainable parameter and
+    removes ~2/3 of each tower's backward FLOPs.
+    """
 
     in_channels: int = 3
     circ_padding: bool = False
     dropout_rate: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    frozen_prefix: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
         x = x.astype(self.dtype)
         # Width is zero-padded per conv normally, or wrap-padded per block;
         # height is always zero-padded inside the conv (XLA folds it).
         w_pad = (0, 0) if self.circ_padding else (1, 1)
         for block_i, block in enumerate(VGG16_BLOCKS):
+            if block_i == 3 and self.frozen_prefix:
+                x = jax.lax.stop_gradient(x)
             if self.circ_padding:
                 x = wrap_pad_width(x, len(block))
             for torch_idx, out_ch in block:

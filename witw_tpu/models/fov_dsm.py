@@ -38,11 +38,15 @@ class FovDsm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dtype = jnp.dtype(self.cfg.compute_dtype)
+        # Blocks 1-3 frozen with nothing trainable below them (the standard
+        # fov config; semantic trains conv1_1) -> skip their backward pass.
+        frozen_prefix = self.cfg.freeze_backbone and not self.cfg.train_first_conv
         x = Vgg16Features(
             in_channels=self.cfg.in_channels,
             circ_padding=self.circ_padding,
             dropout_rate=self.cfg.dropout_rate,
             dtype=dtype,
+            frozen_prefix=frozen_prefix,
             name="vgg",
         )(x, train=train)
         if self.circ_padding:
