@@ -58,12 +58,17 @@ def sweep(
     batch_size: int = 64,
     state=None,
     index_cache: Optional[str] = None,
+    int8: bool = False,
     verbose: bool = True,
 ) -> pd.DataFrame:
     """``index_cache``: optional .npz path; when set, the embedded tile
     gallery (a GalleryIndex with tile centers) is loaded from/saved to it so
     repeated sweeps of the same area skip tile extraction + embedding — the
-    reference re-embeds every tile on every sweep (heatmap.py:159-168)."""
+    reference re-embeds every tile on every sweep (heatmap.py:159-168).
+
+    ``int8`` embeds with the static-int8 towers (models/quantize.py;
+    ~1.3x faster on v5e, rank agreement with f32 test-gated), calibrated on
+    the query photo + the first tile batch."""
     import jax
 
     from witw_tpu.data.loader import decode_image, resize_host
@@ -99,20 +104,63 @@ def sweep(
     photo = resize_host(photo, d.surface_height, d.surface_width)[None]
 
     # --- embed ---
+    sq = None
+    if int8:
+        from witw_tpu.ops.image import normalize_images
+        from witw_tpu.ops.polar import polar_transform
+        from witw_tpu.models.quantize import (
+            calibrate_fov_activation_scales,
+            prepare_static_qparams,
+        )
+
+        # calibration: the query photo + the first tile batch
+        sat0 = GeoTiff(sat_path)
+        calib = np.zeros(
+            (min(batch_size, n), d.overhead_size, d.overhead_size, 3), np.float32
+        )
+        for j, (ulx, uly, lrx, lry) in enumerate(windows[: len(calib)]):
+            tile = sat0.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
+            calib[j] = resample(tile[..., :3], d.overhead_size, d.overhead_size)
+        sat0.close()
+        polar_c = polar_transform(
+            normalize_images(jnp.asarray(calib), d.img_mean, d.img_std),
+            d.surface_height, d.surface_width_max,
+        )
+        photo_c = normalize_images(jnp.asarray(photo), d.img_mean, d.img_std)
+        params_np = jax.tree.map(np.asarray, state.params)
+        sq = (
+            jax.tree.map(jnp.asarray, prepare_static_qparams(
+                params_np["surface"],
+                calibrate_fov_activation_scales(
+                    params_np["surface"], [np.asarray(photo_c)], False),
+            )),
+            jax.tree.map(jnp.asarray, prepare_static_qparams(
+                params_np["overhead"],
+                calibrate_fov_activation_scales(
+                    params_np["overhead"], [np.asarray(polar_c)], True),
+            )),
+        )
+
     @jax.jit
     def embed_surface(params, x):
         from witw_tpu.ops.image import normalize_images
+        from witw_tpu.models.quantize import quantized_fov_forward_static
 
         x = normalize_images(x, d.img_mean, d.img_std)
+        if sq is not None:
+            return quantized_fov_forward_static(sq[0], x, False)
         return pipeline.surface_model.apply({"params": params["surface"]}, x)
 
     @jax.jit
     def embed_overhead(params, x):
         from witw_tpu.ops.image import normalize_images
         from witw_tpu.ops.polar import polar_transform
+        from witw_tpu.models.quantize import quantized_fov_forward_static
 
         x = normalize_images(x, d.img_mean, d.img_std)
         polar = polar_transform(x, d.surface_height, d.surface_width_max)
+        if sq is not None:
+            return quantized_fov_forward_static(sq[1], polar, True)
         return pipeline.overhead_model.apply({"params": params["overhead"]}, polar)
 
     s_emb = np.asarray(embed_surface(state.params, jnp.asarray(photo)))
@@ -196,6 +244,9 @@ def main(argv=None):
     parser.add_argument("--weights", default="./weights")
     parser.add_argument("--index-cache", default=None,
                         help="npz path caching the embedded tile gallery between sweeps")
+    parser.add_argument("--int8", action="store_true",
+                        help="embed with the static-int8 towers (faster serving; "
+                             "rank agreement with f32 test-gated)")
     args = parser.parse_args(argv)
     from witw_tpu.tools.cities import CITIES
 
@@ -203,7 +254,7 @@ def main(argv=None):
     sat_path = os.path.join(args.satdir, strip_filename(name))
     sweep(sat_path, args.photopath, args.csvpath, args.bounds,
           args.edge, args.offset, args.fov, checkpoint_dir=args.weights,
-          index_cache=args.index_cache)
+          index_cache=args.index_cache, int8=args.int8)
     if args.image:
         layer(sat_path, args.bounds, args.layerpath)
 
