@@ -232,3 +232,57 @@ def test_loader_pool_persists_across_epochs(tmp_path, rng):
     assert len(batches1) == len(batches2) == 2
     loader.close()
     assert loader._pool is None
+
+
+def _png_pairs(tmp_path, rng, n=8):
+    import cv2
+
+    paths = []
+    for i in range(n):
+        img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+        p = str(tmp_path / f"g{i}.png")
+        cv2.imwrite(p, img)
+        paths.append((p, p))
+    return paths
+
+
+def test_grain_loader_batches_and_determinism(tmp_path, rng):
+    """Grain-backed loader: same contract as PairLoader; epoch order is a
+    pure function of (seed, epoch) — identical across loader instances."""
+    from witw_tpu.data.grain_loader import GrainPairLoader
+
+    pairs = _png_pairs(tmp_path, rng)
+    mk = lambda: GrainPairLoader(
+        pairs, batch_size=4, surface_hw=(8, 8), overhead_hw=(8, 8),
+        shuffle=True, seed=7,
+    )
+    l1, l2 = mk(), mk()
+    b1 = list(l1)
+    b2 = list(l2)
+    assert len(b1) == len(b2) == 2
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a["idx"], b["idx"])
+        np.testing.assert_array_equal(a["surface"], b["surface"])
+        assert a["surface"].shape == (4, 8, 8, 3)
+    # second epoch reshuffles
+    e2 = list(l1)
+    assert not all(
+        np.array_equal(a["idx"], b["idx"]) for a, b in zip(b1, e2)
+    )
+
+
+def test_grain_loader_sharding_partitions(tmp_path, rng):
+    """Host shards partition the epoch: disjoint, and their union covers
+    every sample (multi-host contract)."""
+    from witw_tpu.data.grain_loader import GrainPairLoader
+
+    pairs = _png_pairs(tmp_path, rng)
+    seen = []
+    for shard in range(2):
+        loader = GrainPairLoader(
+            pairs, batch_size=2, surface_hw=(8, 8), overhead_hw=(8, 8),
+            shuffle=True, seed=3, shard_index=shard, shard_count=2,
+        )
+        seen.append(np.concatenate([b["idx"] for b in loader]))
+    assert set(seen[0]).isdisjoint(seen[1])
+    assert set(seen[0]) | set(seen[1]) == set(range(8))

@@ -304,3 +304,40 @@ def test_truncated_file_rejected(tmp_path, lib, rng):
     path.write_bytes(raw[: len(raw) // 2])
     opened, rc = _open_and_read(lib, path)
     assert (not opened) or rc != 0
+
+
+def test_fuzz_mutated_tiffs_never_crash(tmp_path, lib, rng):
+    """Seeded byte-mutation fuzz: flips, splices and truncations of valid
+    TIFFs must produce clean failures (or valid reads), never crash the
+    process. Exercises the parser's bounds/overflow guards broadly."""
+    base = {}
+    for name, kw in (
+        ("plain", dict(compress=False)),
+        ("deflate", dict(compress=True)),
+    ):
+        data = rng.integers(0, 255, (24, 40, 3), dtype=np.uint8)
+        p = tmp_path / f"{name}.tif"
+        gt.write_geotiff_u8(
+            str(p), data, geotransform=np.array([0.0, 1, 0, 0, 0, -1]),
+            epsg=32601, **kw,
+        )
+        base[name] = bytearray(p.read_bytes())
+
+    mut = np.random.default_rng(99)
+    evil = tmp_path / "fuzz.tif"
+    for trial in range(300):
+        raw = bytearray(base["plain" if trial % 2 else "deflate"])
+        op = trial % 3
+        if op == 0:  # random byte flips in the header/IFD region
+            for _ in range(int(mut.integers(1, 8))):
+                pos = int(mut.integers(0, min(len(raw), 256)))
+                raw[pos] = int(mut.integers(0, 256))
+        elif op == 1:  # flips anywhere
+            for _ in range(int(mut.integers(1, 16))):
+                pos = int(mut.integers(0, len(raw)))
+                raw[pos] = int(mut.integers(0, 256))
+        else:  # truncate
+            raw = raw[: int(mut.integers(8, len(raw)))]
+        evil.write_bytes(bytes(raw))
+        opened, rc = _open_and_read(lib, evil)
+        assert opened in (True, False)  # no crash is the assertion

@@ -247,3 +247,26 @@ def test_checkpointer_multihost_single_writer(tmp_path, monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     restored = Checkpointer(str(tmp_path / "mh")).restore_latest(state)
     assert restored is not None
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """async_saves: step/latest writes land on the background thread; a
+    restore right after sees the finished file."""
+    from witw_tpu.train.checkpoint import Checkpointer
+
+    cfg = tiny_fov_cfg(tmp_path)
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+    ck = Checkpointer(str(tmp_path / "ac"), keep=2, async_saves=True)
+    for step in (1, 2, 3, 4):
+        ck.save_step(state.replace(step=step), step)
+    restored = ck.restore_latest(state)
+    assert restored is not None and int(restored.step) == 4
+    ck.wait()
+    import os
+
+    steps = sorted(
+        f for f in os.listdir(tmp_path / "ac")
+        if f.startswith("step_") and f.endswith(".msgpack")
+    )
+    assert steps == ["step_3.msgpack", "step_4.msgpack"]  # retention GC ran

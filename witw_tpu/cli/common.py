@@ -78,7 +78,8 @@ def run_train(
     train_loader = build_loader(cfg, train_pairs, shuffle=True, drop_last=True)
     val_loader = build_loader(cfg, val_pairs, shuffle=False, drop_last=False)
     pipeline = make_pipeline(cfg)
-    ckpt = Checkpointer(os.path.join(cfg.train.checkpoint_dir, tag), cfg.train.keep_checkpoints)
+    ckpt = Checkpointer(os.path.join(cfg.train.checkpoint_dir, tag), cfg.train.keep_checkpoints,
+                        async_saves=cfg.train.async_checkpoints)
     writer = MetricWriter(os.path.join(cfg.train.tensorboard_dir, tag, "train"))
     with trace_profile(profile_dir):
         return loop.train(

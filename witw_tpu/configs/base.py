@@ -157,6 +157,9 @@ class TrainConfig:
     # cvig_fov.py:481-487; we add resumable periodic checkpoints).
     save_every_steps: int = 0
     keep_checkpoints: int = 3
+    # Serialize+write step/latest checkpoints on a background thread so
+    # training overlaps the disk write (the host fetch stays synchronous).
+    async_checkpoints: bool = False
     log_every_steps: int = 1
 
 

@@ -122,6 +122,7 @@ constexpr uint64_t kMaxChunkBytes = 1ull << 31;  // 2 GB decoded chunk
 
 bool read_tag_values(TiffFile* t, TiffTag& tag, uint64_t value_or_offset_pos) {
   int inline_bytes = t->bigtiff ? 8 : 4;
+  if (tag.count == 0) return false;  // truncated/corrupt entry: [0] would be OOB
   uint64_t esz64 = (uint64_t)type_size(tag.type);
   if (tag.count > kMaxTagBytes / std::max<uint64_t>(esz64, 1)) return false;
   uint64_t total = tag.count * esz64;

@@ -44,33 +44,66 @@ def _to_host(x) -> np.ndarray:
 
 
 class Checkpointer:
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3, async_saves: bool = False):
+        """``async_saves`` serializes + writes step/latest checkpoints on a
+        single background thread (the device->host fetch stays synchronous so
+        the saved state is a consistent snapshot); training overlaps the disk
+        write. ``wait()`` joins pending writes; best/final saves always
+        complete before returning from the public helpers that need them."""
         self.directory = directory
         self.keep = keep
+        self.async_saves = async_saves
+        self._executor = None
+        self._pending = []
         if jax.process_index() == 0:
             os.makedirs(directory, exist_ok=True)
+
+    def _writer(self):
+        import concurrent.futures as futures
+
+        if self._executor is None:
+            self._executor = futures.ThreadPoolExecutor(1)
+        return self._executor
+
+    def wait(self) -> None:
+        """Block until every queued async write has finished."""
+        for f in self._pending:
+            f.result()
+        self._pending = []
 
     # ---- low-level ----
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, f"{name}.msgpack")
 
-    def save(self, name: str, state: Any, meta: Optional[dict] = None) -> Optional[str]:
-        """Write ``name``; only process 0 writes (returns None elsewhere)."""
+    def save(self, name: str, state: Any, meta: Optional[dict] = None,
+             block: bool = True) -> Optional[str]:
+        """Write ``name``; only process 0 writes (returns None elsewhere).
+        ``block=False`` (with async_saves) queues serialization + write on
+        the background thread after a synchronous host fetch."""
         if jax.process_index() != 0:
             return None
-        host_state = jax.tree.map(_to_host, state)
+        host_state = jax.tree.map(_to_host, state)  # consistent snapshot
         path = self._path(name)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(serialization.to_bytes(host_state))
-        os.replace(tmp, path)
-        if meta is not None:
-            with open(os.path.join(self.directory, f"{name}.json"), "w") as f:
-                json.dump(meta, f)
-        return path
+
+        def write():
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(serialization.to_bytes(host_state))
+            os.replace(tmp, path)
+            if meta is not None:
+                with open(os.path.join(self.directory, f"{name}.json"), "w") as f:
+                    json.dump(meta, f)
+            return path
+
+        if self.async_saves and not block:
+            self._pending = [f for f in self._pending if not f.done()]
+            self._pending.append(self._writer().submit(write))
+            return path
+        return write()
 
     def restore(self, name: str, target: Any) -> Any:
+        self.wait()  # a restore right after an async save must see it
         with open(self._path(name), "rb") as f:
             return serialization.from_bytes(target, f.read())
 
@@ -82,15 +115,20 @@ class Checkpointer:
             return json.load(f)
 
     def exists(self, name: str) -> bool:
+        self.wait()
         return os.path.exists(self._path(name))
 
     # ---- training protocol ----
 
     def save_step(self, state: Any, step: int, meta: Optional[dict] = None) -> None:
         meta = dict(meta or {}, step=step)
-        self.save(f"step_{step}", state, meta)
-        self.save("latest", state, meta)
-        self._gc()
+        self.save(f"step_{step}", state, meta, block=False)
+        self.save("latest", state, meta, block=False)
+        if self.async_saves:
+            if jax.process_index() == 0:
+                self._pending.append(self._writer().submit(self._gc))
+        else:
+            self._gc()
 
     def save_best(self, state: Any, val_loss: float, step: int) -> None:
         """New best validation loss (reference contract, cvig_fov.py:481-487)."""
