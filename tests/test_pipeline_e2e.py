@@ -231,3 +231,74 @@ def test_parity_harness_plumbing(tmp_path, rng):
     # side-by-side + gate path: compare against itself -> delta 0, PASS
     report2 = run_parity(cfg, s_pth, o_pth, reference_metrics=res, verbose=True)
     assert report2["gate_pass"] and report2["recall1_delta_pt"] == 0.0
+
+
+@pytest.mark.slow
+def test_serving_daemon_end_to_end(tmp_path, rng):
+    """HTTP serving daemon: healthz + top-k geolocate over a prebuilt index,
+    bad-input handling."""
+    import io
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    import jax
+    from PIL import Image
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.tools.serve import GeolocateService, serve
+    from witw_tpu.train.pipeline import make_pipeline
+
+    cfg = fov_experiment(dataset="witw", fov=70)
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    n = 12
+    h, w, c = 4, 64, 16  # plausible embed-map geometry
+    embeds = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    index = GalleryIndex(
+        embeds,
+        meta={"x": np.arange(n, dtype=np.float64) * 100.0,
+              "y": np.arange(n, dtype=np.float64) * -50.0},
+    )
+    service = GeolocateService(index, cfg, state)
+    server = serve(service, port=0)  # ephemeral port
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["gallery_size"] == n
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/geolocate?k=3", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        results = out["results"]
+        assert len(results) == 3
+        assert results[0]["distance"] <= results[1]["distance"] <= results[2]["distance"]
+        for item in results:
+            assert {"x", "y", "tile", "distance", "orientation_deg", "score"} <= set(item)
+            assert -180.0 <= item["orientation_deg"] <= 180.0
+
+        # bad input: not an image
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/geolocate", data=b"not an image",
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
