@@ -374,3 +374,39 @@ def test_torch_segmenter_rejects_state_dict(tmp_path):
     torch.save(torch.nn.Conv2d(3, 1, 3).state_dict(), ckpt)
     with pytest.raises(ValueError):
         torch_segmenter(ckpt)
+
+
+def test_torch_indoor_classifier(tmp_path, rng):
+    """Places365-style indoor filter: user torch checkpoint + IO map."""
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    from witw_tpu.tools.build_dataset import torch_indoor_classifier
+
+    # 4-class "scene classifier" whose logits are monotone in brightness:
+    # class 0 wins on dark inputs, class 3 on bright ones
+    model = torch.nn.Sequential(
+        torch.nn.AdaptiveAvgPool2d(1), torch.nn.Flatten(), torch.nn.Linear(3, 4)
+    )
+    with torch.no_grad():
+        model[2].weight.copy_(torch.tensor(
+            [[-1.0] * 3, [-0.33] * 3, [0.33] * 3, [1.0] * 3]))
+        model[2].bias.zero_()
+    ckpt = str(tmp_path / "places.pth")
+    torch.save(model, ckpt)
+    io_map = tmp_path / "io.txt"
+    io_map.write_text("a 1\nb 1\nc 2\nd 2\n")  # classes 0,1 indoor; 2,3 outdoor
+
+    dark = tmp_path / "dark.jpg"
+    bright = tmp_path / "bright.jpg"
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(dark)
+    Image.fromarray(np.full((64, 64, 3), 255, np.uint8)).save(bright)
+
+    is_indoor = torch_indoor_classifier(ckpt, str(io_map))
+    # dark image -> mean ~ -2 -> class 0 (indoor); bright -> ~ +2 -> class 3
+    assert is_indoor(str(dark)) is True
+    assert is_indoor(str(bright)) is False
+    # unreadable file -> treated as indoor (dropped)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"nope")
+    assert is_indoor(str(bad)) is True

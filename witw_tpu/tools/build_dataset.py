@@ -43,6 +43,61 @@ def is_single_band(photo_path: str) -> bool:
         return True
 
 
+def torch_indoor_classifier(
+    checkpoint_path: str,
+    io_map_path: str,
+    device: str = "cpu",
+    input_size: int = 224,
+) -> Callable[[str], bool]:
+    """Indoor/outdoor classifier from a user-supplied torch scene-classifier
+    checkpoint — the reference's Places365 stage (build_dataset:31-37 invokes
+    an external run_placesCNN_cut.py over a Places365 CNN).
+
+    ``io_map_path``: text file with one entry per class, 1 = indoor,
+    2 = outdoor (the format of the official Places365 ``IO_places365.txt``;
+    a bare 0/1 column with 1 = indoor also works). Classification: resize to
+    ``input_size``², ImageNet-normalize, argmax class -> indoor flag.
+    """
+    import torch
+    from PIL import Image
+
+    model = torch.load(checkpoint_path, map_location=device, weights_only=False)
+    if not hasattr(model, "eval"):
+        raise ValueError(
+            f"{checkpoint_path} is not a full nn.Module checkpoint"
+        )
+    model.eval()
+    flags = []
+    with open(io_map_path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            val = int(parts[-1])
+            flags.append(val == 1)  # 1 = indoor in IO_places365.txt
+    io_flags = np.asarray(flags, bool)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def is_indoor(photo_path: str) -> bool:
+        try:
+            with Image.open(photo_path) as im:
+                img = np.asarray(
+                    im.convert("RGB").resize((input_size, input_size)),
+                    np.float32,
+                )
+        except Exception:
+            return True  # unreadable photos are dropped
+        x = (img / 255.0 - mean) / std
+        t = torch.tensor(np.transpose(x, (2, 0, 1))[None], device=device)
+        with torch.no_grad():
+            logits = model(t)
+        cls = int(torch.argmax(logits.reshape(-1)))
+        return bool(io_flags[cls]) if cls < len(io_flags) else False
+
+    return is_indoor
+
+
 def build(
     metadata_root: str,
     photo_dir: str,
@@ -124,15 +179,31 @@ def main(argv=None):
     parser.add_argument("--edge", type=float, default=225.0)
     parser.add_argument("--blank-threshold", type=float, default=0.05)
     parser.add_argument("--remove-ids", default=None, help="file with ids to drop")
+    parser.add_argument(
+        "--places-checkpoint", default=None,
+        help="torch scene-classifier checkpoint (full nn.Module, e.g. "
+             "Places365) for the indoor-photo filter stage",
+    )
+    parser.add_argument(
+        "--places-io-map", default=None,
+        help="per-class indoor/outdoor map (IO_places365.txt format; "
+             "required with --places-checkpoint)",
+    )
     args = parser.parse_args(argv)
     remove_ids = None
     if args.remove_ids:
         from witw_tpu.tools.filter_csv import load_id_set
 
         remove_ids = load_id_set(args.remove_ids)
+    indoor = None
+    if args.places_checkpoint:
+        if not args.places_io_map:
+            parser.error("--places-checkpoint requires --places-io-map")
+        indoor = torch_indoor_classifier(args.places_checkpoint, args.places_io_map)
     build(
         args.metadata_root, args.photo_dir, args.sat_dir, args.out_dir,
         edge=args.edge, blank_threshold=args.blank_threshold, remove_ids=remove_ids,
+        indoor_classifier=indoor,
     )
 
 
