@@ -69,8 +69,7 @@ def main(int8: bool = False):
         # scales, fused requant epilogues; rank agreement with the f32 towers
         # is test-gated (tests/test_quantize.py). Headline default stays bf16.
         from witw_tpu.models.quantize import (
-            calibrate_fov_activation_scales,
-            prepare_static_qparams,
+            quantize_pipeline_static,
             quantized_fov_forward_static,
         )
 
@@ -78,15 +77,7 @@ def main(int8: bool = False):
             {"surface": surf[0][:8], "overhead": over[0][:8]},
             jax.random.PRNGKey(0), train=False,
         )
-        params_np = jax.tree.map(np.asarray, state.params)
-        sq_s = jax.tree.map(jnp.asarray, prepare_static_qparams(
-            params_np["surface"],
-            calibrate_fov_activation_scales(params_np["surface"], [np.asarray(s_in)], False),
-        ))
-        sq_o = jax.tree.map(jnp.asarray, prepare_static_qparams(
-            params_np["overhead"],
-            calibrate_fov_activation_scales(params_np["overhead"], [np.asarray(p_in)], True),
-        ))
+        sq_s, sq_o = quantize_pipeline_static(pipeline, state, [(s_in, p_in)])
 
         def embed_match(params, batch):
             surface, polar = pipeline._preprocess(batch, jax.random.PRNGKey(0), train=False)

@@ -302,3 +302,35 @@ def test_serving_daemon_end_to_end(tmp_path, rng):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+@pytest.mark.slow
+def test_serving_daemon_int8_lazy_calibration(tmp_path, rng):
+    """--int8 serving calibrates on the first real query (not a probe) and
+    keeps answering consistently afterwards."""
+    import io
+
+    import jax
+    from PIL import Image
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.tools.serve import GeolocateService
+
+    cfg = fov_experiment(dataset="witw", fov=70)
+    from witw_tpu.train.pipeline import make_pipeline
+
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+    index = GalleryIndex(rng.standard_normal((6, 4, 64, 16)).astype(np.float32))
+    service = GeolocateService(index, cfg, state, int8=True)
+    assert service._sq is None  # not calibrated until traffic arrives
+
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (80, 160, 3), dtype=np.uint8)).save(
+        buf, format="JPEG")
+    r1 = service.geolocate(buf.getvalue(), k=3)
+    assert service._sq is not None  # calibrated from the query
+    r2 = service.geolocate(buf.getvalue(), k=3)
+    assert [x["tile"] for x in r1] == [x["tile"] for x in r2]
+    assert r1[0]["distance"] == r2[0]["distance"]

@@ -78,7 +78,10 @@ class GrainPairLoader:
         )
 
     def __len__(self) -> int:
-        n = len(self._source) // self.shard_count
+        # this shard's element count under [shard_index::shard_count] slicing
+        n = len(
+            range(self.shard_index, len(self._source), self.shard_count)
+        )
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)

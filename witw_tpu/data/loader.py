@@ -183,12 +183,6 @@ class PairLoader:
         except Exception:
             pass
 
-    def _load_one(self, pair: Tuple[str, str]) -> Tuple[np.ndarray, np.ndarray]:
-        return _decode_pair(
-            (pair, self.surface_hw, self.overhead_hw, self.channels,
-             self.dtype, self.skip_errors)
-        )
-
     def _decode_args(self, pair: Tuple[str, str]):
         return (pair, self.surface_hw, self.overhead_hw, self.channels,
                 self.dtype, self.skip_errors)

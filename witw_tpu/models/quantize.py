@@ -268,18 +268,22 @@ def quantized_fov_forward_static(sq, x, circ_padding: bool = False):
             return jax.nn.relu(y) if relu_after else y
 
 
+def quantize_tower_static(tower_params, calib_batches, circ_padding: bool):
+    """Calibrate one tower on normalized NHWC batches and fold the static
+    tables; returns device-ready params for quantized_fov_forward_static."""
+    params = jax.tree.map(np.asarray, tower_params)
+    scales = calibrate_fov_activation_scales(params, calib_batches, circ_padding)
+    return jax.tree.map(jnp.asarray, prepare_static_qparams(params, scales))
+
+
 def quantize_pipeline_static(pipeline, state, calib_batches):
     """Calibrate + fold both towers; returns (sq_surface, sq_overhead) for
     quantized_fov_forward_static. ``calib_batches``: iterable of
     (surface_norm, polar_norm) f32 NHWC pairs (preprocessed)."""
     params = jax.tree.map(np.asarray, state.params)
-    surf_b = [s for s, _ in calib_batches]
-    polar_b = [p for _, p in calib_batches]
-    s_scales = calibrate_fov_activation_scales(params["surface"], surf_b, False)
-    o_scales = calibrate_fov_activation_scales(params["overhead"], polar_b, True)
-    sq_s = prepare_static_qparams(params["surface"], s_scales)
-    sq_o = prepare_static_qparams(params["overhead"], o_scales)
+    surf_b = [np.asarray(s) for s, _ in calib_batches]
+    polar_b = [np.asarray(p) for _, p in calib_batches]
     return (
-        jax.tree.map(jnp.asarray, sq_s),
-        jax.tree.map(jnp.asarray, sq_o),
+        quantize_tower_static(params["surface"], surf_b, False),
+        quantize_tower_static(params["overhead"], polar_b, True),
     )

@@ -104,41 +104,19 @@ def sweep(
     photo = resize_host(photo, d.surface_height, d.surface_width)[None]
 
     # --- embed ---
-    sq = None
+    # int8: surface tower calibrates on the query photo (always needed);
+    # the overhead tower calibrates lazily on the FIRST streamed tile batch
+    # inside the embed loop — on an index-cache hit no tile is ever read or
+    # embedded, so no overhead calibration work happens either.
+    sq_surface = None
+    sq_overhead_box = [None]
     if int8:
         from witw_tpu.ops.image import normalize_images
-        from witw_tpu.ops.polar import polar_transform
-        from witw_tpu.models.quantize import (
-            calibrate_fov_activation_scales,
-            prepare_static_qparams,
-        )
+        from witw_tpu.models.quantize import quantize_tower_static
 
-        # calibration: the query photo + the first tile batch
-        sat0 = GeoTiff(sat_path)
-        calib = np.zeros(
-            (min(batch_size, n), d.overhead_size, d.overhead_size, 3), np.float32
-        )
-        for j, (ulx, uly, lrx, lry) in enumerate(windows[: len(calib)]):
-            tile = sat0.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
-            calib[j] = resample(tile[..., :3], d.overhead_size, d.overhead_size)
-        sat0.close()
-        polar_c = polar_transform(
-            normalize_images(jnp.asarray(calib), d.img_mean, d.img_std),
-            d.surface_height, d.surface_width_max,
-        )
         photo_c = normalize_images(jnp.asarray(photo), d.img_mean, d.img_std)
-        params_np = jax.tree.map(np.asarray, state.params)
-        sq = (
-            jax.tree.map(jnp.asarray, prepare_static_qparams(
-                params_np["surface"],
-                calibrate_fov_activation_scales(
-                    params_np["surface"], [np.asarray(photo_c)], False),
-            )),
-            jax.tree.map(jnp.asarray, prepare_static_qparams(
-                params_np["overhead"],
-                calibrate_fov_activation_scales(
-                    params_np["overhead"], [np.asarray(polar_c)], True),
-            )),
+        sq_surface = quantize_tower_static(
+            state.params["surface"], [np.asarray(photo_c)], False
         )
 
     @jax.jit
@@ -147,21 +125,35 @@ def sweep(
         from witw_tpu.models.quantize import quantized_fov_forward_static
 
         x = normalize_images(x, d.img_mean, d.img_std)
-        if sq is not None:
-            return quantized_fov_forward_static(sq[0], x, False)
+        if sq_surface is not None:
+            return quantized_fov_forward_static(sq_surface, x, False)
         return pipeline.surface_model.apply({"params": params["surface"]}, x)
+
+    def _preprocess_overhead(x):
+        from witw_tpu.ops.image import normalize_images
+        from witw_tpu.ops.polar import polar_transform
+
+        x = normalize_images(x, d.img_mean, d.img_std)
+        return polar_transform(x, d.surface_height, d.surface_width_max)
 
     @jax.jit
     def embed_overhead(params, x):
-        from witw_tpu.ops.image import normalize_images
-        from witw_tpu.ops.polar import polar_transform
         from witw_tpu.models.quantize import quantized_fov_forward_static
 
-        x = normalize_images(x, d.img_mean, d.img_std)
-        polar = polar_transform(x, d.surface_height, d.surface_width_max)
-        if sq is not None:
-            return quantized_fov_forward_static(sq[1], polar, True)
+        polar = _preprocess_overhead(x)
+        if int8:
+            return quantized_fov_forward_static(sq_overhead_box[0], polar, True)
         return pipeline.overhead_model.apply({"params": params["overhead"]}, polar)
+
+    def calibrate_overhead(tiles_batch: np.ndarray) -> None:
+        if not int8 or sq_overhead_box[0] is not None:
+            return
+        from witw_tpu.models.quantize import quantize_tower_static
+
+        polar_c = _preprocess_overhead(jnp.asarray(tiles_batch))
+        sq_overhead_box[0] = quantize_tower_static(
+            state.params["overhead"], [np.asarray(polar_c)], True
+        )
 
     s_emb = np.asarray(embed_surface(state.params, jnp.asarray(photo)))
     if cached_index is not None:
@@ -181,6 +173,7 @@ def sweep(
                 tile = sat.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
                 buf[j] = resample(tile[..., :3], d.overhead_size, d.overhead_size)
             buf[stop - start:] = 0.0
+            calibrate_overhead(buf)  # no-op unless int8 and not yet calibrated
             o_parts.append(
                 np.asarray(embed_overhead(state.params, jnp.asarray(buf)))[: stop - start]
             )

@@ -43,44 +43,38 @@ class GeolocateService:
         self.cfg = cfg
         d = cfg.data
         pipeline = make_pipeline(cfg)
-        self._sq = None
-        if int8:
-            from witw_tpu.models.quantize import (
-                calibrate_fov_activation_scales,
-                prepare_static_qparams,
-            )
-            import numpy as np
+        self._int8 = int8
+        self._sq = None  # calibrated lazily on the FIRST real query image so
+        self._sq_lock = threading.Lock()  # scales match actual traffic, not a probe
 
-            params_np = jax.tree.map(np.asarray, state.params)
-            # calibrate the surface tower on a mid-gray image (queries are
-            # normalized photos; recalibrate with real traffic if desired)
-            probe = np.full(
-                (1, d.surface_height, d.surface_width, 3), 127.0, np.float32
-            )
-            probe = np.asarray(
-                normalize_images(jnp.asarray(probe), d.img_mean, d.img_std)
-            )
-            self._sq = jax.tree.map(
-                jnp.asarray,
-                prepare_static_qparams(
-                    params_np["surface"],
-                    calibrate_fov_activation_scales(
-                        params_np["surface"], [probe], False
-                    ),
-                ),
-            )
+        def embed_f32(params, x):
+            x = normalize_images(x, d.img_mean, d.img_std)
+            return pipeline.surface_model.apply({"params": params["surface"]}, x)
 
-        @jax.jit
-        def embed(params, x):
+        def embed_int8(params, x):
             from witw_tpu.models.quantize import quantized_fov_forward_static
 
             x = normalize_images(x, d.img_mean, d.img_std)
-            if self._sq is not None:
-                return quantized_fov_forward_static(self._sq, x, False)
-            return pipeline.surface_model.apply({"params": params["surface"]}, x)
+            return quantized_fov_forward_static(self._sq, x, False)
 
-        self._embed = embed
+        self._embed_f32 = jax.jit(embed_f32)
+        self._embed_int8 = jax.jit(embed_int8)
+        self._normalize = lambda x: normalize_images(x, d.img_mean, d.img_std)
         self._params = state.params
+
+    def _embed(self, params, x):
+        if not self._int8:
+            return self._embed_f32(params, x)
+        with self._sq_lock:
+            if self._sq is None:
+                import numpy as np
+
+                from witw_tpu.models.quantize import quantize_tower_static
+
+                self._sq = quantize_tower_static(
+                    params["surface"], [np.asarray(self._normalize(x))], False
+                )
+        return self._embed_int8(params, x)
 
     def geolocate(self, image_bytes: bytes, k: int = 5):
         import jax.numpy as jnp
@@ -133,7 +127,7 @@ def make_handler(service: GeolocateService):
                 self._json(200, {
                     "status": "ok",
                     "gallery_size": len(service.index),
-                    "int8": service._sq is not None,
+                    "int8": service._int8,
                 })
             else:
                 self._json(404, {"error": "unknown path"})

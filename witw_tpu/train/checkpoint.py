@@ -80,10 +80,22 @@ class Checkpointer:
              block: bool = True) -> Optional[str]:
         """Write ``name``; only process 0 writes (returns None elsewhere).
         ``block=False`` (with async_saves) queues serialization + write on
-        the background thread after a synchronous host fetch."""
-        if jax.process_index() != 0:
+        the background thread after a synchronous host fetch.
+
+        Collective ordering: when any leaf is not fully addressable, the
+        host fetch involves a process_allgather that EVERY process must
+        enter — non-zero processes participate in the gather and only then
+        return, otherwise process 0 would block in the collective forever.
+        """
+        needs_collective = jax.process_count() > 1 and any(
+            isinstance(x, jax.Array) and not x.is_fully_addressable
+            for x in jax.tree.leaves(state)
+        )
+        if jax.process_index() != 0 and not needs_collective:
             return None
         host_state = jax.tree.map(_to_host, state)  # consistent snapshot
+        if jax.process_index() != 0:
+            return None
         path = self._path(name)
 
         def write():
@@ -97,7 +109,13 @@ class Checkpointer:
             return path
 
         if self.async_saves and not block:
-            self._pending = [f for f in self._pending if not f.done()]
+            # prune completed writes, but KEEP errored futures so wait()
+            # (and the next restore) re-raises the failure instead of
+            # silently losing checkpoints
+            self._pending = [
+                f for f in self._pending
+                if not f.done() or f.exception() is not None
+            ]
             self._pending.append(self._writer().submit(write))
             return path
         return write()

@@ -261,10 +261,13 @@ def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=
 def dump_val_embeddings(pipeline, state: TrainState, val_loader, writer: MetricWriter,
                         epoch: int, rng: jax.Array) -> None:
     """TensorBoard projector dump after the val phase (reference
-    cvig_fov.py:475-479): the last val batch's surface embeddings plus each
+    cvig_fov.py:475-479): one val batch's surface embeddings plus each
     overhead map's orientation-aligned crop for its own query, with the
     denormalized network inputs as thumbnails (surface width-padded to the
-    polar map's width, reference :477)."""
+    polar map's width, reference :477). The reference dumps whatever batch
+    the loop variable last held; here the FIRST val batch is used so the
+    dump does not re-decode the whole validation set a second time per
+    epoch."""
     if not isinstance(pipeline, FovPipeline):
         return  # the reference dumps embeddings only in the FOV/semantic scripts
     import jax.numpy as jnp
@@ -273,9 +276,7 @@ def dump_val_embeddings(pipeline, state: TrainState, val_loader, writer: MetricW
     from witw_tpu.match.reference_impl import crop_overhead_materialized
     from witw_tpu.ops.image import denormalize_images
 
-    batch = None
-    for batch in val_loader:  # reference uses the batch left over from the loop
-        pass
+    batch = next(iter(val_loader), None)
     if batch is None:
         return
     data = {k: jnp.asarray(v) for k, v in batch.items() if k in ("surface", "overhead")}
@@ -333,6 +334,15 @@ def test(
     s_emb, o_emb = embed_all(pipeline, state, test_loader, mesh, rng)
 
     if isinstance(pipeline, FovPipeline):
+        if cfg.eval.shard_gallery and mesh is None:
+            import warnings
+
+            warnings.warn(
+                "shard_gallery requested but no device mesh is available "
+                "(single device, or the eval batch size does not divide the "
+                "device count) — falling back to the single-device gallery "
+                "sweep", stacklevel=2,
+            )
         evaluator = FovGalleryEvaluator(
             mesh=mesh,
             query_block=cfg.eval.query_block,

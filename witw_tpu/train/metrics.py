@@ -75,10 +75,19 @@ class MetricWriter:
         if self._tb is not None:
             label_img = None
             if label_imgs is not None:
-                import torch
+                # the projector's thumbnail path goes through torch's
+                # make_grid; on a torch-less install dump vectors only
+                # instead of killing the training loop
+                try:
+                    import torch
 
-                arr = np.asarray(label_imgs, np.float32)
-                label_img = torch.tensor(np.transpose(arr, (0, 3, 1, 2)))
+                    arr = np.asarray(label_imgs, np.float32)
+                    label_img = torch.tensor(np.transpose(arr, (0, 3, 1, 2)))
+                except ImportError:
+                    warnings.warn(
+                        "torch unavailable: projector embedding written "
+                        "without label images", stacklevel=2,
+                    )
             self._tb.add_embedding(
                 vectors, label_img=label_img, tag=tag, global_step=step
             )
