@@ -69,6 +69,7 @@ def main(int8: bool = False):
         # scales, fused requant epilogues; rank agreement with the f32 towers
         # is test-gated (tests/test_quantize.py). Headline default stays bf16.
         from witw_tpu.models.quantize import (
+            preprocess_static_int8,
             quantize_pipeline_static,
             quantized_fov_forward_static,
         )
@@ -80,9 +81,13 @@ def main(int8: bool = False):
         sq_s, sq_o = quantize_pipeline_static(pipeline, state, [(s_in, p_in)])
 
         def embed_match(params, batch):
-            surface, polar = pipeline._preprocess(batch, jax.random.PRNGKey(0), train=False)
-            s_emb = quantized_fov_forward_static(sq_s, surface, False)
-            o_emb = quantized_fov_forward_static(sq_o, polar, True)
+            # int8-first preprocessing: normalize+quantize raw inputs, run
+            # the FOV roll and polar gathers on int8 (4x less HBM traffic).
+            surface_q, polar_q = preprocess_static_int8(
+                cfg.data, sq_s, sq_o, batch, jax.random.PRNGKey(0)
+            )
+            s_emb = quantized_fov_forward_static(sq_s, surface_q, False, x_quantized=True)
+            o_emb = quantized_fov_forward_static(sq_o, polar_q, True, x_quantized=True)
             corr = circular_correlation(o_emb, s_emb)
             distance, _ = chord_distance(o_emb, s_emb, corr)
             return distance

@@ -107,3 +107,79 @@ def test_static_quantized_rank_agreement(rng):
     r_q = ev.ranks(o_q, s_q)
     # top-1 recall must agree within one item on this small planted set
     assert abs(int(np.sum(r_f32 <= 1)) - int(np.sum(r_q <= 1))) <= 1
+
+
+def test_int8_first_preprocess_matches_f32_preprocess(rng):
+    """preprocess_static_int8 (normalize+quantize first, int8 gathers after)
+    agrees with quantizing the f32 _preprocess outputs: surface exact, polar
+    within 1 LSB, and exact zeros at polar boundary samples (the reference's
+    clip-then-weight semantics, model/cvig_fov.py:163-183)."""
+    from witw_tpu.configs import (
+        DataConfig, DatasetConfig, EvalConfig, ExperimentConfig,
+        FovDsmModelConfig, OptimConfig, TrainConfig,
+    )
+    from witw_tpu.models.quantize import (
+        preprocess_static_int8, quantize_input, quantize_pipeline_static,
+        quantized_fov_forward_static,
+    )
+    from witw_tpu.ops.polar import polar_grid
+    from witw_tpu.train.pipeline import make_pipeline
+
+    ds = DatasetConfig(name="cvusa", train_csv="", test_csv="", panorama=True)
+    cfg = ExperimentConfig(
+        data=DataConfig(dataset=ds, surface_height=32, surface_width_max=64,
+                        overhead_size=64),
+        model=FovDsmModelConfig(compute_dtype="float32"),
+        train=TrainConfig(batch_size=4, optim=OptimConfig(learning_rate=1e-4)),
+        eval=EvalConfig(query_block=4),
+    )
+    pipe = make_pipeline(cfg)
+    state = pipe.init(jax.random.PRNGKey(0))
+    d = cfg.data
+    batch = {
+        "surface": rng.uniform(0, 255, (4, 32, 64, 3)).astype(np.float32),
+        "overhead": rng.uniform(0, 255, (4, 64, 64, 3)).astype(np.float32),
+    }
+    s_in, p_in = pipe._preprocess(batch, jax.random.PRNGKey(0), train=False)
+    sq_s, sq_o = quantize_pipeline_static(pipe, state, [(s_in, p_in)])
+    sq8, pq8 = preprocess_static_int8(d, sq_s, sq_o, batch, jax.random.PRNGKey(0))
+
+    s_ref = np.asarray(quantize_input(s_in, sq_s["input_scale"]), np.int32)
+    p_ref = np.asarray(quantize_input(p_in, sq_o["input_scale"]), np.int32)
+    assert np.array_equal(np.asarray(sq8, np.int32), s_ref)
+    assert np.max(np.abs(np.asarray(pq8, np.int32) - p_ref)) <= 1
+
+    wsum = polar_grid(32, 64, 64).wsum
+    assert np.all(np.asarray(pq8)[:, wsum == 0] == 0)
+
+    # end-to-end: embeddings through the static towers stay aligned
+    e_ref = np.asarray(quantized_fov_forward_static(sq_o, p_in, True))
+    e_new = np.asarray(
+        quantized_fov_forward_static(sq_o, jnp.asarray(pq8), True, x_quantized=True)
+    )
+    cos = np.sum(e_ref * e_new) / (np.linalg.norm(e_ref) * np.linalg.norm(e_new))
+    assert cos > 0.995, cos
+
+
+def test_first_conv_bf16_variant_close(rng):
+    """first_conv_bf16 folds the input scale into a bf16 conv1_1; embeddings
+    stay close to the all-int8 static path."""
+    from witw_tpu.models.quantize import (
+        calibrate_fov_activation_scales, prepare_static_qparams,
+        quantized_fov_forward_static,
+    )
+
+    cfg = FovDsmModelConfig(compute_dtype="float32")
+    model = FovDsm(cfg, circ_padding=False)
+    x = rng.standard_normal((2, 32, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.tree.map(np.asarray, variables["params"])
+    scales = calibrate_fov_activation_scales(params, [x], circ_padding=False)
+    sq_i8 = jax.tree.map(jnp.asarray, prepare_static_qparams(params, scales))
+    sq_bf = jax.tree.map(
+        jnp.asarray, prepare_static_qparams(params, scales, first_conv_bf16=True)
+    )
+    a = np.asarray(quantized_fov_forward_static(sq_i8, jnp.asarray(x)))
+    b = np.asarray(quantized_fov_forward_static(sq_bf, jnp.asarray(x)))
+    cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99, cos

@@ -189,29 +189,43 @@ def calibrate_fov_activation_scales(params, batches, circ_padding=False):
     return scales
 
 
-def prepare_static_qparams(params, act_scales):
+def prepare_static_qparams(params, act_scales, first_conv_bf16: bool = False):
     """Fold weights + calibrated scales into per-conv static tables:
     kernel_q int8 [3,3,Ci,Co], bias_q int32 [Co] (bias in the conv's int32
     accumulator domain), requant_m float32 [Co] (acc -> next layer's int8
-    domain), dequant float32 [Co] (acc -> f32, for the final conv)."""
+    domain), dequant float32 [Co] (acc -> f32, for the final conv).
+
+    ``first_conv_bf16``: run conv1_1 on the MXU in bf16 instead of int8.
+    conv1_1's contraction is only 9*3=27 deep — XLA's int8 conv at that shape
+    measures ~13 TOPS on v5e (profiled; the im2col path degenerates), while
+    the bf16 conv of the SAME quantized input runs several times faster. The
+    input scale is folded into the bf16 kernel (k*s_in) so the conv consumes
+    the int8 input directly; output requantizes into conv1_2's int8 domain."""
     out = {"vgg": {}}
     s_in = act_scales["input"]
     prev = s_in
     for idx, name in enumerate(_CONV_ORDER):
         kv = params["vgg"][name] if name in params.get("vgg", {}) else params[name]
         k = np.asarray(kv["kernel"], np.float32)
-        s_w = np.maximum(np.max(np.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
-        kq = np.clip(np.round(k / s_w), -127, 127).astype(np.int8)
-        acc_scale = prev * s_w  # int32 acc unit -> f32
-        bias_q = np.round(np.asarray(kv["bias"], np.float32) / acc_scale).astype(np.int32)
         nxt = act_scales[name]
-        entry = {
-            "kernel_q": kq,
-            "bias_q": bias_q,
-            "requant_m": (acc_scale / nxt).astype(np.float32),
-            "dequant": acc_scale.astype(np.float32),
-            "bias_f": np.asarray(kv["bias"], np.float32),
-        }
+        if idx == 0 and first_conv_bf16:
+            entry = {
+                "kernel_bf16": (k * s_in).astype(jnp.bfloat16),
+                "bias_f": np.asarray(kv["bias"], np.float32),
+                "inv_next": np.float32(1.0 / nxt),
+            }
+        else:
+            s_w = np.maximum(np.max(np.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
+            kq = np.clip(np.round(k / s_w), -127, 127).astype(np.int8)
+            acc_scale = prev * s_w  # int32 acc unit -> f32
+            bias_q = np.round(np.asarray(kv["bias"], np.float32) / acc_scale).astype(np.int32)
+            entry = {
+                "kernel_q": kq,
+                "bias_q": bias_q,
+                "requant_m": (acc_scale / nxt).astype(np.float32),
+                "dequant": acc_scale.astype(np.float32),
+                "bias_f": np.asarray(kv["bias"], np.float32),
+            }
         (out["vgg"] if name in params.get("vgg", {}) else out)[name] = entry
         prev = nxt
     out["input_scale"] = np.float32(s_in)
@@ -226,15 +240,23 @@ def _requant(acc, m, relu):
     return jnp.clip(y, lo, 127.0).astype(jnp.int8)
 
 
-def quantized_fov_forward_static(sq, x, circ_padding: bool = False):
+def quantized_fov_forward_static(
+    sq, x, circ_padding: bool = False, x_quantized: bool = False
+):
     """Static-scale int8 forward of the FOV-DSM tower (inference only).
 
     Exactly one int8 conv + one fused int32->int8 epilogue per layer; no
-    dynamic abs-max reductions. x: normalized NHWC float input. Returns the
-    f32 [B, h, w, 16] embedding map (same contract as FovDsm eval)."""
+    dynamic abs-max reductions. x: normalized NHWC float input — or, with
+    ``x_quantized``, an int8 input already in this tower's input-scale domain
+    (see preprocess_static_int8). Returns the f32 [B, h, w, 16] embedding map
+    (same contract as FovDsm eval)."""
     w_pad = (0, 0) if circ_padding else (1, 1)
-    x = jnp.asarray(x, jnp.float32)
-    h = jnp.clip(jnp.round(x / sq["input_scale"]), -127, 127).astype(jnp.int8)
+    if x_quantized:
+        assert x.dtype == jnp.int8, x.dtype
+        h = x
+    else:
+        x = jnp.asarray(x, jnp.float32)
+        h = jnp.clip(jnp.round(x / sq["input_scale"]), -127, 127).astype(jnp.int8)
 
     def qconv(h_q, entry, strides=(1, 1)):
         return jax.lax.conv_general_dilated(
@@ -243,12 +265,25 @@ def quantized_fov_forward_static(sq, x, circ_padding: bool = False):
             preferred_element_type=jnp.int32,
         ) + entry["bias_q"]
 
+    def bf16_conv(h_q, entry):
+        acc = jax.lax.conv_general_dilated(
+            h_q.astype(jnp.bfloat16), entry["kernel_bf16"], (1, 1),
+            ((1, 1), w_pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + entry["bias_f"]
+        y = jnp.round(acc * entry["inv_next"])
+        return jnp.clip(y, 0.0, 127.0).astype(jnp.int8)  # relu folded
+
     for block_i, block in enumerate(VGG16_BLOCKS):
         if circ_padding:
             h = wrap_pad_width(h, len(block))
         for torch_idx, _ in block:
             entry = sq["vgg"][f"conv_{torch_idx}"]
-            h = _requant(qconv(h, entry), entry["requant_m"], relu=True)
+            if "kernel_bf16" in entry:
+                h = bf16_conv(h, entry)
+            else:
+                h = _requant(qconv(h, entry), entry["requant_m"], relu=True)
         if block_i < 3:
             h = jax.lax.reduce_window(
                 h, jnp.int8(-127), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
@@ -268,15 +303,19 @@ def quantized_fov_forward_static(sq, x, circ_padding: bool = False):
             return jax.nn.relu(y) if relu_after else y
 
 
-def quantize_tower_static(tower_params, calib_batches, circ_padding: bool):
+def quantize_tower_static(
+    tower_params, calib_batches, circ_padding: bool, first_conv_bf16: bool = False
+):
     """Calibrate one tower on normalized NHWC batches and fold the static
     tables; returns device-ready params for quantized_fov_forward_static."""
     params = jax.tree.map(np.asarray, tower_params)
     scales = calibrate_fov_activation_scales(params, calib_batches, circ_padding)
-    return jax.tree.map(jnp.asarray, prepare_static_qparams(params, scales))
+    return jax.tree.map(
+        jnp.asarray, prepare_static_qparams(params, scales, first_conv_bf16)
+    )
 
 
-def quantize_pipeline_static(pipeline, state, calib_batches):
+def quantize_pipeline_static(pipeline, state, calib_batches, first_conv_bf16=False):
     """Calibrate + fold both towers; returns (sq_surface, sq_overhead) for
     quantized_fov_forward_static. ``calib_batches``: iterable of
     (surface_norm, polar_norm) f32 NHWC pairs (preprocessed)."""
@@ -284,6 +323,85 @@ def quantize_pipeline_static(pipeline, state, calib_batches):
     surf_b = [np.asarray(s) for s, _ in calib_batches]
     polar_b = [np.asarray(p) for _, p in calib_batches]
     return (
-        quantize_tower_static(params["surface"], surf_b, False),
-        quantize_tower_static(params["overhead"], polar_b, True),
+        quantize_tower_static(params["surface"], surf_b, False, first_conv_bf16),
+        quantize_tower_static(params["overhead"], polar_b, True, first_conv_bf16),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-first preprocessing: normalize + quantize the RAW inputs (small
+# tensors), then run the FOV roll and the polar transform's 4-corner gather
+# on int8 — the f32 path's gathers/copies are ~4x the HBM traffic and were
+# ~10% of the profiled serving step. Exact at polar boundary samples (the
+# gather weights vanish there, emitting 0 = the reference's clip-then-weight
+# zero); interior adds at most ~1 int8 LSB of interpolation rounding, gated
+# by the rank-agreement tests.
+# ---------------------------------------------------------------------------
+
+
+def quantize_input(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """f32 -> symmetric int8 in the given activation-scale domain."""
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def polar_transform_static_int8(
+    tile_q: jnp.ndarray, surface_height: int, surface_width: int
+) -> jnp.ndarray:
+    """Polar-map int8 normalized tiles to int8 pseudo-panoramas.
+
+    Same sampling grid as ops.polar.polar_transform (reference
+    model/cvig_fov.py:156-209); the bilinear blend runs on gathered int8
+    corners in f32 and rounds back to the same int8 domain (weights sum to 1
+    in the interior, 0 at boundary samples)."""
+    from witw_tpu.ops.polar import polar_grid
+
+    b, s, s2, c = tile_q.shape
+    assert s == s2 and tile_q.dtype == jnp.int8
+    grid = polar_grid(surface_height, surface_width, s)
+    idx = jnp.asarray(grid.idx)
+    weight = jnp.asarray(grid.weight)
+    flat = tile_q.reshape(b, s * s, c)
+    corners = flat[:, idx, :]  # [B, 4, h*w, C] int8
+    out = jnp.einsum("bkpc,kp->bpc", corners.astype(jnp.float32), weight)
+    out = jnp.clip(jnp.round(out), -127, 127).astype(jnp.int8)
+    return out.reshape(b, grid.out_hw[0], grid.out_hw[1], c)
+
+
+def preprocess_static_int8(data_cfg, sq_s, sq_o, batch, rng):
+    """Serving-path preprocess mirroring FovPipeline._preprocess in int8.
+
+    batch: {'surface': [B,H,Wmax,C], 'overhead': [B,S,S,C]} raw uint8-scale.
+    Returns (surface_q, polar_q) int8 in each tower's input-scale domain."""
+    from witw_tpu.ops.fov import fov_crop, random_fov_starts
+    from witw_tpu.ops.image import normalize_images
+
+    d = data_cfg
+    surface = jnp.asarray(batch["surface"], jnp.float32)
+    overhead = jnp.asarray(batch["overhead"], jnp.float32)
+    scale_ch = 3 if d.dataset.semantic else None
+
+    surf_q = quantize_input(
+        normalize_images(surface, d.img_mean, d.img_std, scale_ch),
+        sq_s["input_scale"],
+    )
+    if d.dataset.panorama:
+        sw = d.surface_width
+        if d.random_orientation:
+            starts = random_fov_starts(rng, surface.shape[0], d.surface_width_max)
+        else:
+            starts = jnp.zeros((surface.shape[0],), jnp.int32)
+        if sw < d.surface_width_max:
+            surf_q = fov_crop(surf_q, starts, sw)
+        elif d.random_orientation:
+            surf_q = fov_crop(surf_q, starts, d.surface_width_max)
+
+    # Plain normalize (no masked bias): the polar gather's weights vanish at
+    # boundary samples, so the bias masking of the f32 path emerges for free.
+    tile_q = quantize_input(
+        normalize_images(overhead, d.img_mean, d.img_std, scale_ch),
+        sq_o["input_scale"],
+    )
+    polar_q = polar_transform_static_int8(
+        tile_q, d.surface_height, d.surface_width_max
+    )
+    return surf_q, polar_q
