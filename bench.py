@@ -6,6 +6,14 @@ embed+match path at CVUSA geometry — both towers' forward (surface 128x512,
 overhead polar-transformed on device from a 256^2 tile, batch 128) plus the
 full in-batch circular correlation + orientation-aligned chord distance.
 
+The default is the production serving configuration: the static-int8 towers
+(calibrated scales, fused requant epilogues, int8-first preprocessing) whose
+retrieval-rank agreement with the f32 towers is test-gated
+(tests/test_quantize.py). ``--bf16`` measures the training-precision towers
+instead. Physics context (BASELINE.md roofline): the bf16 path is already at
+71-75% of the single-chip bf16 ceiling; int8 (v5e MXU 2x rate) is what a
+throughput-serving deployment would run.
+
 Measurement notes:
 - SCAN_STEPS forward steps run inside one dispatch via lax.scan **over
   distinct per-step inputs** (loop-invariant inputs would let XLA hoist the
@@ -35,7 +43,7 @@ SCAN_STEPS = 4
 REPS = 3
 
 
-def main(int8: bool = False):
+def main(int8: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -65,9 +73,9 @@ def main(int8: bool = False):
     )
 
     if int8:
-        # Opt-in static-int8 serving path (python bench.py --int8): calibrated
-        # scales, fused requant epilogues; rank agreement with the f32 towers
-        # is test-gated (tests/test_quantize.py). Headline default stays bf16.
+        # Static-int8 serving path (the default): calibrated scales, fused
+        # requant epilogues, int8-first preprocessing; rank agreement with
+        # the f32 towers is test-gated (tests/test_quantize.py).
         from witw_tpu.models.quantize import (
             preprocess_static_int8,
             quantize_pipeline_static,
@@ -145,4 +153,4 @@ def main(int8: bool = False):
 
 
 if __name__ == "__main__":
-    main(int8="--int8" in sys.argv[1:])
+    main(int8="--bf16" not in sys.argv[1:])

@@ -56,15 +56,19 @@ def build(int8: bool, batch: int, steps: int):
             quantized_fov_forward_static,
         )
 
+        from witw_tpu.models.quantize import preprocess_static_int8
+
         s_in, p_in = pipeline._preprocess(
             {"surface": surf[0][:8], "overhead": over[0][:8]}, jax.random.PRNGKey(0), train=False
         )
         sq_s, sq_o = quantize_pipeline_static(pipeline, state, [(s_in, p_in)])
 
         def embed_match(params, batch_d):
-            surface, polar = pipeline._preprocess(batch_d, jax.random.PRNGKey(0), train=False)
-            s_emb = quantized_fov_forward_static(sq_s, surface, False)
-            o_emb = quantized_fov_forward_static(sq_o, polar, True)
+            surface_q, polar_q = preprocess_static_int8(
+                cfg.data, sq_s, sq_o, batch_d, jax.random.PRNGKey(0)
+            )
+            s_emb = quantized_fov_forward_static(sq_s, surface_q, False, x_quantized=True)
+            o_emb = quantized_fov_forward_static(sq_o, polar_q, True, x_quantized=True)
             corr = circular_correlation(o_emb, s_emb)
             distance, _ = chord_distance(o_emb, s_emb, corr)
             return distance

@@ -361,6 +361,10 @@ def polar_transform_static_int8(
     idx = jnp.asarray(grid.idx)
     weight = jnp.asarray(grid.weight)
     flat = tile_q.reshape(b, s * s, c)
+    # One stacked 4-corner gather + einsum blend. (Measured alternative —
+    # four separate per-corner gathers with a fused weighted add — is ~3%
+    # slower end-to-end: the per-corner gathers re-walk the tile operand and
+    # cost more than the relayout they avoid.)
     corners = flat[:, idx, :]  # [B, 4, h*w, C] int8
     out = jnp.einsum("bkpc,kp->bpc", corners.astype(jnp.float32), weight)
     out = jnp.clip(jnp.round(out), -127, 127).astype(jnp.int8)
