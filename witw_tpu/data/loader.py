@@ -229,6 +229,11 @@ class PairLoader:
                         }
                     )
             except BaseException as err:  # propagate to the consumer
+                if isinstance(err, futures.BrokenExecutor):
+                    # A dead worker (segfault/OOM-kill) breaks the executor
+                    # permanently; drop it so the next epoch gets a fresh
+                    # pool instead of failing forever.
+                    self.close()
                 out_q.put(err)
                 return
             out_q.put(None)

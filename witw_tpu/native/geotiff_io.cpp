@@ -490,7 +490,10 @@ struct WTag { uint16_t code, type; uint32_t count; uint64_t value; };
 
 int gt_write_u8(const char* path, const uint8_t* data, long w, long h, int bands,
                 const double* gt6, int epsg, int compress) try {
-  FILE* fp = fopen(path, "wb");
+  // RAII so the handle closes on the exception path too (the catch-all
+  // below would otherwise leak the FILE on e.g. bad_alloc).
+  std::unique_ptr<FILE, int (*)(FILE*)> fp_guard(fopen(path, "wb"), fclose);
+  FILE* fp = fp_guard.get();
   if (!fp) return 1;
 
   // compress rows-per-strip blocks
@@ -589,7 +592,6 @@ int gt_write_u8(const char* path, const uint8_t* data, long w, long h, int bands
     for (uint16_t g : geokeys) wr(fp, g, 2);
   }
   for (uint32_t s = 0; s < nstrips; s++) fwrite(strips[s].data(), 1, strips[s].size(), fp);
-  fclose(fp);
   return 0;
 } catch (...) {
   return 3;

@@ -31,8 +31,22 @@ def _build_native() -> bool:
             capture_output=True,
         )
         return True
-    except Exception:
+    except subprocess.CalledProcessError as err:
+        _warn_build_failure(err.stderr)
         return False
+    except Exception as err:
+        _warn_build_failure(str(err).encode())
+        return False
+
+
+def _warn_build_failure(stderr) -> None:
+    import warnings
+
+    msg = (stderr or b"").decode(errors="replace").strip()
+    warnings.warn(
+        "building witw_tpu/native/libgeotiff_io.so failed:\n" + msg,
+        stacklevel=3,
+    )
 
 
 def _lib_is_stale() -> bool:
@@ -52,6 +66,14 @@ def native_lib() -> Optional[ctypes.CDLL]:
     if (not os.path.exists(_LIB_PATH) or _lib_is_stale()) and not _build_native():
         if not os.path.exists(_LIB_PATH):
             return None
+        if _lib_is_stale():
+            # Never silently run an old binary after a source edit: the build
+            # failure was warned above with the compiler output.
+            raise RuntimeError(
+                "witw_tpu/native/geotiff_io.cpp changed but rebuilding "
+                "libgeotiff_io.so failed (see warning above); refusing to "
+                "load the stale binary"
+            )
     lib = ctypes.CDLL(_LIB_PATH)
     lib.gt_open.restype = ctypes.c_void_p
     lib.gt_open.argtypes = [ctypes.c_char_p]

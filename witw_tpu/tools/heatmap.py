@@ -94,10 +94,16 @@ def sweep(
     cached_index = None
     if index_cache and os.path.exists(index_cache):
         cached_index = GalleryIndex.load(index_cache)
-        if len(cached_index) != len(windows) or not np.allclose(
-            cached_index.meta.get("x", []), centers_e
+        cached_x = np.asarray(cached_index.meta.get("x", []))
+        cached_prec = str(cached_index.meta.get("precision", "f32"))
+        want_prec = "int8" if int8 else "f32"
+        if (
+            len(cached_index) != len(windows)
+            or cached_x.shape != np.shape(centers_e)
+            or not np.allclose(cached_x, centers_e)
+            or cached_prec != want_prec
         ):
-            cached_index = None  # stale cache for a different grid
+            cached_index = None  # stale: different grid or tower precision
 
     # --- query photo ---
     photo = decode_image(photo_path)
@@ -179,7 +185,11 @@ def sweep(
             )
         sat.close()
         o_emb = np.concatenate(o_parts)[:n]
-        index = GalleryIndex(o_emb, meta={"x": centers_e, "y": centers_n})
+        index = GalleryIndex(
+            o_emb,
+            meta={"x": centers_e, "y": centers_n,
+                  "precision": "int8" if int8 else "f32"},
+        )
         if index_cache:
             index.save(index_cache)
 

@@ -230,12 +230,11 @@ def train(
 def _fetch_global(x) -> np.ndarray:
     """Fetch a device array to host numpy, gathering across processes when the
     array is sharded over a multi-host mesh (np.asarray alone cannot read
-    remote shards)."""
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+    remote shards). Fully-addressable arrays are fetched directly — an
+    allgather there would concatenate each process's identical copy."""
+    from witw_tpu.train.checkpoint import _to_host
 
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-    return np.asarray(x)
+    return _to_host(x)
 
 
 def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=False):
