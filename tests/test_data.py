@@ -286,3 +286,53 @@ def test_grain_loader_sharding_partitions(tmp_path, rng):
         seen.append(np.concatenate([b["idx"] for b in loader]))
     assert set(seen[0]).isdisjoint(seen[1])
     assert set(seen[0]) | set(seen[1]) == set(range(8))
+
+
+def test_loader_recovers_from_broken_pool(tmp_path, rng):
+    """A dead worker (segfault/OOM-kill) breaks the ProcessPoolExecutor
+    permanently; the loader must drop it so the NEXT epoch gets a fresh pool
+    instead of failing forever (review finding, round 2)."""
+    from concurrent import futures
+
+    from witw_tpu.data.loader import PairLoader
+
+    paths = _png_pairs(tmp_path, rng, n=4)
+    loader = PairLoader(
+        paths, batch_size=2, surface_hw=(8, 8), overhead_hw=(8, 8),
+        num_workers=2, worker_mode="process",
+    )
+    list(loader)  # healthy epoch creates the pool
+    good_pool = loader._pool
+    assert good_pool is not None
+
+    class _Broken:
+        def map(self, *a, **k):
+            raise futures.process.BrokenProcessPool("worker died")
+
+        def shutdown(self, *a, **k):
+            pass
+
+    loader._pool = _Broken()
+    with pytest.raises(futures.BrokenExecutor):
+        list(loader)
+    assert loader._pool is None  # broken pool dropped
+    batches = list(loader)  # next epoch recreates and works
+    assert len(batches) == 2
+    assert loader._pool is not good_pool
+    loader.close()
+
+
+def test_native_lib_refuses_stale_binary(monkeypatch):
+    """After a source edit, a failed rebuild must raise instead of silently
+    loading the stale .so (review finding, round 2)."""
+    import witw_tpu.tools.geotiff as gt
+
+    if gt.native_lib() is None:
+        pytest.skip("native lib unavailable")
+    monkeypatch.setattr(gt, "_lib", None)
+    monkeypatch.setattr(gt, "_lib_is_stale", lambda: True)
+    monkeypatch.setattr(gt, "_build_native", lambda: False)
+    with pytest.raises(RuntimeError, match="stale"):
+        gt.native_lib()
+    monkeypatch.setattr(gt, "_lib_is_stale", lambda: False)
+    assert gt.native_lib() is not None  # fresh binary still loads

@@ -154,6 +154,11 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
                    edge=225.0, offset=112.5, fov=70, state=state,
                    index_cache=cache, verbose=False)
     np.testing.assert_allclose(frame2["score"], frame["score"], rtol=1e-6)
+    # the cache records tower precision so an --int8 rerun treats it as stale
+    # (staleness logic unit-tested in tests/test_tools.py)
+    from witw_tpu.evaluation.index import GalleryIndex
+
+    assert str(GalleryIndex.load(cache).meta.get("precision")) == "f32"
     assert set(frame.columns) == {"x", "y", "orientation", "dissimilarity", "score"}
     assert len(frame) >= 4
     assert np.all(np.isfinite(frame["score"]))

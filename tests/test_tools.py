@@ -410,3 +410,21 @@ def test_torch_indoor_classifier(tmp_path, rng):
     bad = tmp_path / "bad.jpg"
     bad.write_bytes(b"nope")
     assert is_indoor(str(bad)) is True
+
+
+def test_heatmap_cache_staleness_predicate():
+    """An embedding cache is stale when the tile grid or the towers'
+    precision changed, and a missing 'x' meta never crashes the check
+    (review findings, round 2)."""
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.tools.heatmap import _cache_is_stale
+
+    emb = np.zeros((4, 1, 2, 8), np.float32)
+    xs = np.arange(4.0)
+    idx = GalleryIndex(emb, meta={"x": xs, "precision": "f32"})
+    assert not _cache_is_stale(idx, 4, xs, "f32")
+    assert _cache_is_stale(idx, 5, np.arange(5.0), "f32")   # grid size
+    assert _cache_is_stale(idx, 4, xs + 1.0, "f32")         # grid centers
+    assert _cache_is_stale(idx, 4, xs, "int8")              # precision
+    bare = GalleryIndex(emb)                                # no meta at all
+    assert _cache_is_stale(bare, 4, xs, "f32")

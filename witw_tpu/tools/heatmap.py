@@ -45,6 +45,19 @@ def window_grid(
     return np.asarray(centers_e), np.asarray(centers_n), windows
 
 
+def _cache_is_stale(index, n_windows, centers_e, want_precision):
+    """True when a cached embedding index cannot serve this sweep: tile grid
+    changed (count or centers) or the towers' precision differs (an f32
+    gallery must never be scored against an int8 query embedding)."""
+    cached_x = np.asarray(index.meta.get("x", []))
+    return (
+        len(index) != n_windows
+        or cached_x.shape != np.shape(centers_e)
+        or not np.allclose(cached_x, centers_e)
+        or str(index.meta.get("precision", "f32")) != want_precision
+    )
+
+
 def sweep(
     sat_path: str,
     photo_path: str,
@@ -94,15 +107,8 @@ def sweep(
     cached_index = None
     if index_cache and os.path.exists(index_cache):
         cached_index = GalleryIndex.load(index_cache)
-        cached_x = np.asarray(cached_index.meta.get("x", []))
-        cached_prec = str(cached_index.meta.get("precision", "f32"))
-        want_prec = "int8" if int8 else "f32"
-        if (
-            len(cached_index) != len(windows)
-            or cached_x.shape != np.shape(centers_e)
-            or not np.allclose(cached_x, centers_e)
-            or cached_prec != want_prec
-        ):
+        if _cache_is_stale(cached_index, len(windows), centers_e,
+                           "int8" if int8 else "f32"):
             cached_index = None  # stale: different grid or tower precision
 
     # --- query photo ---
