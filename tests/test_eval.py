@@ -129,3 +129,26 @@ def test_index_score_all_matches_search_at_50k_scale(rng):
     corr = circular_correlation(jnp.asarray(gal[sl]), jnp.asarray(q))
     d_dense, o_dense = chord_distance(jnp.asarray(gal[sl]), jnp.asarray(q), corr)
     np.testing.assert_allclose(d_all[sl], np.asarray(d_dense), rtol=1e-4, atol=1e-5)
+
+
+def test_index_search_approx_two_stage(rng):
+    """search_approx: with candidates >= N it reproduces the exact search;
+    with a small candidate pool on planted-structure data the pooled-cosine
+    prefilter (width-mean is orientation-invariant) preserves the top-1
+    matches found by the exact sweep."""
+    from witw_tpu.evaluation import GalleryIndex
+
+    o, s = _random_embeds(rng, 48)
+    idx = GalleryIndex(o)
+
+    ie, de, oe = idx.search(s, k=5, gallery_chunk=16)
+    ia, da, oa = idx.search_approx(s, k=5, candidates=48, query_block=13)
+    np.testing.assert_allclose(da, de, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(ia, ie)
+    np.testing.assert_array_equal(oa, oe)
+
+    ia2, da2, _ = idx.search_approx(s, k=5, candidates=8, query_block=16)
+    # the exact top-1 survives the 6x-smaller candidate pool on planted data
+    assert np.mean(ia2[:, 0] == ie[:, 0]) > 0.9
+    # reranked distances are exact for whatever candidates were selected
+    assert np.all(da2[:, 0] >= de[:, 0] - 1e-6)

@@ -295,6 +295,21 @@ def test_serving_daemon_end_to_end(tmp_path, rng):
             assert {"x", "y", "tile", "distance", "orientation_deg", "score"} <= set(item)
             assert -180.0 <= item["orientation_deg"] <= 180.0
 
+        # approximate mode: full candidate pool == exact results
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/geolocate?k=3&candidates=12",
+            data=buf.getvalue(), method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out_approx = json.loads(r.read())
+        assert [it["tile"] for it in out_approx["results"]] == [
+            it["tile"] for it in results
+        ]
+        np.testing.assert_allclose(
+            [it["distance"] for it in out_approx["results"]],
+            [it["distance"] for it in results], rtol=1e-5, atol=1e-6,
+        )
+
         # bad input: not an image
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/geolocate", data=b"not an image",

@@ -44,6 +44,24 @@ def _chunk_distances(fo_c, wsq_c, fs, s_norm, *, w):
     return 2.0 * (1.0 - cos), orient
 
 
+@partial(jax.jit, static_argnames=("w",))
+def _rerank_distances(fo, wsq, fs, s_norm, *, w):
+    """Per-query candidate rerank: fo [Q, M, h, wf, c], wsq [Q, M, w],
+    fs [Q, h, wf, c], s_norm [Q] -> distances/orientations [Q, M]."""
+    prod = jnp.einsum(
+        "qmhfc,qhfc->qmf", fo, jnp.conj(fs),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    corr = jnp.fft.irfft(prod, n=w, axis=-1)
+    corr_max = jnp.max(corr, axis=-1)
+    orient = jnp.argmax(corr, axis=-1)
+    wsq_at = jnp.take_along_axis(wsq, orient[..., None], axis=-1)[..., 0]
+    cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
+        s_norm[:, None], 1e-10
+    )
+    return 2.0 * (1.0 - cos), orient
+
+
 class GalleryIndex:
     """Embedded overhead gallery with precomputed correlation quantities.
 
@@ -120,6 +138,79 @@ class GalleryIndex:
             out_d[start:stop] = np.asarray(d)[:real]
             out_o[start:stop] = np.asarray(orient)[:real]
         return out_d, out_o
+
+    # ---- approximate two-stage retrieval ----
+
+    def _pooled(self) -> jnp.ndarray:
+        """L2-normalized width-mean descriptors [N, h*c].
+
+        Mean-pooling over the width (orientation) axis is exactly invariant
+        to the circular shift the exact matcher optimizes over, so pooled
+        cosine similarity is a sound coarse score for this model family."""
+        if getattr(self, "_pool", None) is None:
+            p = jnp.mean(jnp.asarray(self.embeds), axis=2)  # [N, h, c]
+            p = p.reshape(len(self.embeds), -1)
+            self._pool = p / jnp.maximum(
+                jnp.linalg.norm(p, axis=1, keepdims=True), 1e-10
+            )
+        return self._pool
+
+    def search_approx(
+        self,
+        surface_embeds: np.ndarray,
+        k: int = 10,
+        candidates: int = 256,
+        query_block: int = 16,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Two-stage top-k: a pooled-cosine prefilter picks ``candidates``
+        gallery items per query (one [Q, hc] x [hc, N] GEMM — ~1000x cheaper
+        than the exact sweep), then the exact FFT correlation + chord
+        distance reranks only those. Same return contract as search().
+
+        With ``candidates >= len(index)`` this equals the exact search; the
+        approximation quality is test-gated (tests/test_eval.py). Use for
+        100k+ tile sweeps where the exact all-pairs pass dominates.
+        """
+        n = len(self.embeds)
+        m = min(candidates, n)
+        q = surface_embeds.shape[0]
+        sw = surface_embeds.shape[2]
+        w = self.embeds.shape[2]
+
+        s = jnp.asarray(surface_embeds, jnp.float32)
+        sp = jnp.mean(s, axis=2).reshape(q, -1)
+        sp = sp / jnp.maximum(jnp.linalg.norm(sp, axis=1, keepdims=True), 1e-10)
+        sims = np.asarray(sp @ self._pooled().T)  # [Q, N]
+        cand = np.argpartition(-sims, m - 1, axis=1)[:, :m]  # [Q, M]
+
+        s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
+        fs_all = jnp.fft.rfft(s_pad, axis=2)
+        s_norm_all = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
+
+        out_i = np.empty((q, k), np.int64)
+        out_d = np.empty((q, k), np.float32)
+        out_o = np.empty((q, k), np.int32)
+        for q0 in range(0, q, query_block):
+            q1 = min(q0 + query_block, q)
+            idx = cand[q0:q1]  # [qb, M]
+            gal = jnp.asarray(self.embeds[idx])  # [qb, M, h, w, c]
+            fo = jnp.fft.rfft(gal, axis=3)
+            wsq = window_sq_norms(
+                gal.reshape((q1 - q0) * m, *gal.shape[2:]), sw
+            ).reshape(q1 - q0, m, -1)
+            d, orient = _rerank_distances(
+                fo, wsq, fs_all[q0:q1], s_norm_all[q0:q1], w=w
+            )
+            d = np.asarray(d)
+            orient = np.asarray(orient)
+            sel = np.argpartition(d, min(k, m) - 1, axis=1)[:, :k]
+            rows = np.arange(q1 - q0)[:, None]
+            dd = d[rows, sel]
+            order = np.argsort(dd, axis=1)
+            out_d[q0:q1] = dd[rows, order]
+            out_i[q0:q1] = idx[rows, sel][rows, order]
+            out_o[q0:q1] = orient[rows, sel][rows, order]
+        return out_i, out_d, out_o
 
     def search(
         self,

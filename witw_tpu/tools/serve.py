@@ -7,9 +7,12 @@ prebuilt :class:`witw_tpu.evaluation.index.GalleryIndex` (built by
 ``tools/heatmap.py --index-cache`` or programmatically), and answers queries
 at device speed:
 
-    POST /geolocate?k=5      body: JPEG/PNG bytes of a ground-level photo
+    POST /geolocate?k=5[&candidates=256]   body: JPEG/PNG photo bytes
         -> {"results": [{"x", "y", "distance", "orientation_deg", "score"},
-            ...]}  (top-k tile centers by orientation-aligned chord distance)
+            ...]}  (top-k tile centers by orientation-aligned chord distance;
+        ``candidates`` switches to the two-stage approximate search — a
+        pooled-cosine prefilter followed by exact rerank of that many tiles,
+        for 100k+ tile galleries)
     GET  /healthz            -> {"status": "ok", "gallery_size": N, ...}
 
 Run: ``python -m witw_tpu.tools.serve --index tiles.npz --weights ./weights
@@ -76,7 +79,7 @@ class GeolocateService:
                 )
         return self._embed_int8(params, x)
 
-    def geolocate(self, image_bytes: bytes, k: int = 5):
+    def geolocate(self, image_bytes: bytes, k: int = 5, candidates: int = 0):
         import jax.numpy as jnp
         import numpy as np
 
@@ -90,7 +93,12 @@ class GeolocateService:
         img = resize_host(img, d.surface_height, d.surface_width)[None]
         s_emb = np.asarray(self._embed(self._params, jnp.asarray(img)))
         k = max(1, min(int(k), len(self.index)))
-        idx, dist, orient = self.index.search(s_emb, k=k)
+        if candidates:
+            idx, dist, orient = self.index.search_approx(
+                s_emb, k=k, candidates=max(int(candidates), k)
+            )
+        else:
+            idx, dist, orient = self.index.search(s_emb, k=k)
         w = self.index.embeds.shape[2]
         xs = self.index.meta.get("x")
         ys = self.index.meta.get("y")
@@ -137,6 +145,7 @@ def make_handler(service: GeolocateService):
                 self._json(404, {"error": "unknown path"})
                 return
             k = 5
+            candidates = 0  # 0 = exact search; >0 = two-stage approximate
             if "?" in self.path:
                 for part in self.path.split("?", 1)[1].split("&"):
                     if part.startswith("k="):
@@ -145,13 +154,19 @@ def make_handler(service: GeolocateService):
                         except ValueError:
                             self._json(400, {"error": "bad k"})
                             return
+                    elif part.startswith("candidates="):
+                        try:
+                            candidates = int(part[len("candidates="):])
+                        except ValueError:
+                            self._json(400, {"error": "bad candidates"})
+                            return
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
                 self._json(400, {"error": "empty body (expect image bytes)"})
                 return
             data = self.rfile.read(length)
             try:
-                results = service.geolocate(data, k=k)
+                results = service.geolocate(data, k=k, candidates=candidates)
             except Exception as err:  # bad image etc.
                 self._json(400, {"error": f"{type(err).__name__}: {err}"})
                 return
