@@ -172,7 +172,8 @@ class GalleryIndex:
         100k+ tile sweeps where the exact all-pairs pass dominates.
         """
         n = len(self.embeds)
-        m = min(candidates, n)
+        m = min(max(candidates, k), n)  # rerank pool always covers top-k
+        k = min(k, m)
         q = surface_embeds.shape[0]
         sw = surface_embeds.shape[2]
         w = self.embeds.shape[2]
