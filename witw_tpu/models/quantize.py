@@ -13,12 +13,15 @@ towers can run with int8 weights and activations:
 This is an optional serving path — training and parity evals stay bf16/f32.
 Typical embedding agreement vs the f32 path: cosine > 0.99 (tested).
 
-Measured on TPU v5e at CVUSA geometry (batch 128): the int8 path is NOT
-faster end-to-end than bf16 (1410 vs 1750 pairs/s) — XLA's conv at these
-shapes is layout/memory-bound, not MXU-rate-bound, and the per-layer dynamic
-requantization adds elementwise passes. Kept for memory-constrained serving
-(4x smaller weights, int8 activations) and as the basis for a future static-
-scale variant.
+Two variants, measured on TPU v5e at CVUSA geometry (batch 128):
+- dynamic per-batch activation scales (quantized_fov_forward): NOT faster
+  than bf16 (1410 vs 1750 pairs/s) — the per-layer abs-max reductions and
+  float round-trips eat the MXU gain. Kept for memory-constrained serving.
+- static calibrated scales + fused requant epilogues + int8-first
+  preprocessing (quantized_fov_forward_static + preprocess_static_int8):
+  **2610-2720 pairs/s vs 1880 bf16** — the production serving path and the
+  bench.py default; retrieval-rank agreement with the f32 towers is
+  test-gated (tests/test_quantize.py).
 """
 
 from __future__ import annotations
