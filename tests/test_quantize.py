@@ -183,3 +183,48 @@ def test_first_conv_bf16_variant_close(rng):
     b = np.asarray(quantized_fov_forward_static(sq_bf, jnp.asarray(x)))
     cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.99, cos
+
+
+def test_int8_first_preprocess_semantic_5ch(rng):
+    """The semantic 5-channel variant through int8-first preprocessing keeps
+    the reference's normalization quirk (/255 on the first 3 channels only,
+    cvig_semantic.py:173-176): surface path exact vs quantize-after, polar
+    within 1 LSB across all 5 channels."""
+    from witw_tpu.configs import (
+        DataConfig, EvalConfig, ExperimentConfig, FovDsmModelConfig,
+        OptimConfig, TrainConfig, dataset_config,
+    )
+    from witw_tpu.models.quantize import (
+        preprocess_static_int8, quantize_input, quantize_pipeline_static,
+    )
+    from witw_tpu.train.pipeline import make_pipeline
+
+    ds = dataset_config("witw", semantic=True)
+    cfg = ExperimentConfig(
+        data=DataConfig(dataset=ds, surface_height=32, surface_width_max=64,
+                        overhead_size=64, channels=5,
+                        img_mean=(0.485, 0.456, 0.406, 0.5, 0.5),
+                        img_std=(0.229, 0.224, 0.225, 0.5, 0.5)),
+        model=FovDsmModelConfig(compute_dtype="float32", in_channels=5),
+        train=TrainConfig(batch_size=2, optim=OptimConfig(learning_rate=1e-4)),
+        eval=EvalConfig(query_block=2),
+    )
+    pipe = make_pipeline(cfg)
+    state = pipe.init(jax.random.PRNGKey(0))
+    d = cfg.data
+    batch = {
+        "surface": rng.uniform(0, 255, (2, 32, 64, 5)).astype(np.float32),
+        "overhead": rng.uniform(0, 255, (2, 64, 64, 5)).astype(np.float32),
+    }
+    # mask channels arrive already in [0, 1] (reference augment.py:75-79)
+    batch["surface"][..., 3:] /= 255.0
+    batch["overhead"][..., 3:] /= 255.0
+    s_in, p_in = pipe._preprocess(batch, jax.random.PRNGKey(0), train=False)
+    sq_s, sq_o = quantize_pipeline_static(pipe, state, [(s_in, p_in)])
+    sq8, pq8 = preprocess_static_int8(d, sq_s, sq_o, batch, jax.random.PRNGKey(0))
+
+    assert sq8.shape[-1] == 5 and pq8.shape[-1] == 5
+    s_ref = np.asarray(quantize_input(s_in, sq_s["input_scale"]), np.int32)
+    p_ref = np.asarray(quantize_input(p_in, sq_o["input_scale"]), np.int32)
+    assert np.array_equal(np.asarray(sq8, np.int32), s_ref)
+    assert np.max(np.abs(np.asarray(pq8, np.int32) - p_ref)) <= 1
