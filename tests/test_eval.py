@@ -152,3 +152,28 @@ def test_index_search_approx_two_stage(rng):
     assert np.mean(ia2[:, 0] == ie[:, 0]) > 0.9
     # reranked distances are exact for whatever candidates were selected
     assert np.all(da2[:, 0] >= de[:, 0] - 1e-6)
+
+
+def test_index_search_approx_narrow_fov(rng):
+    """Prefilter recall gate at a serving-like FOV fraction (sw/w ~ 0.19,
+    the daemon's FOV-70 regime) and production-like descriptor dims: the
+    shifted-window prefilter must keep the exact top-1 in a ~3%-of-gallery
+    candidate pool (the full-width-mean descriptor measured ~0.85 here —
+    ADVICE r2)."""
+    from witw_tpu.evaluation import GalleryIndex
+
+    n, h, w, sw, c = 512, 4, 64, 12, 16
+    o = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    s = rng.standard_normal((n, h, sw, c)).astype(np.float32)
+    for i in range(n):
+        start = rng.integers(0, w)
+        cols = [(start + k) % w for k in range(sw)]
+        s[i] = o[i][:, cols, :] + 0.1 * s[i]
+    idx = GalleryIndex(o)
+
+    ie, de, _ = idx.search(s, k=5, gallery_chunk=128)
+    ia, da, _ = idx.search_approx(s, k=5, candidates=16, query_block=64)
+    assert np.mean(ia[:, 0] == ie[:, 0]) > 0.97
+    # full-width queries still take the single-descriptor (S=1) path
+    assert idx._pooled(w).shape[1] == 1
+    assert idx._pooled(sw).shape[1] == int(np.ceil(w / (sw // 2)))

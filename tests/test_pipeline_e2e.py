@@ -320,6 +320,19 @@ def test_serving_daemon_end_to_end(tmp_path, rng):
             assert False, "expected 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # bad query params: negative candidates must NOT silently enable a
+        # k-sized approximate pool (ADVICE r2); k < 1 is rejected too
+        for qs in ("candidates=-1", "k=0", "k=-3"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/geolocate?{qs}",
+                data=buf.getvalue(), method="POST",
+            )
+            try:
+                urllib.request.urlopen(req)
+                assert False, f"expected 400 for {qs}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
     finally:
         server.shutdown()
 

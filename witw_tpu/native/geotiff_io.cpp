@@ -508,7 +508,7 @@ int gt_write_u8(const char* path, const uint8_t* data, long w, long h, int bands
     if (compress) {
       uLongf clen = compressBound((uLong)raw);
       strips[s].resize(clen);
-      if (compress2(strips[s].data(), &clen, src, (uLong)raw, 6) != Z_OK) { fclose(fp); return 2; }
+      if (compress2(strips[s].data(), &clen, src, (uLong)raw, 6) != Z_OK) return 2;  // fp_guard closes fp
       strips[s].resize(clen);
     } else {
       strips[s].assign(src, src + raw);

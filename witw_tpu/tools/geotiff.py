@@ -19,6 +19,8 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgeotiff_io.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "geotiff_io.cpp")
+_HASH_PATH = os.path.join(_NATIVE_DIR, ".geotiff_io.srchash")
 _lib: Optional[ctypes.CDLL] = None
 
 
@@ -30,6 +32,11 @@ def _build_native() -> bool:
             check=True,
             capture_output=True,
         )
+        try:  # record what source the binary was built from (see _lib_is_stale)
+            with open(_HASH_PATH, "w") as f:
+                f.write(_src_hash())
+        except OSError:
+            pass
         return True
     except subprocess.CalledProcessError as err:
         _warn_build_failure(err.stderr)
@@ -49,12 +56,26 @@ def _warn_build_failure(stderr) -> None:
     )
 
 
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC_PATH, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _lib_is_stale() -> bool:
-    """True when geotiff_io.cpp is newer than the built .so (edit-and-rerun
-    must not silently load the old binary)."""
-    src = os.path.join(_NATIVE_DIR, "geotiff_io.cpp")
+    """True when geotiff_io.cpp changed since the .so was built (edit-and-
+    rerun must not silently load the old binary). Compares a source content
+    hash recorded at build time — mtime skew from archive extraction or image
+    copies must not false-positive (it used to, hard-failing toolchain-less
+    environments); mtime is only the fallback when no hash was recorded."""
     try:
-        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        with open(_HASH_PATH) as f:
+            return f.read().strip() != _src_hash()
+    except OSError:
+        pass
+    try:
+        return os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)
     except OSError:
         return False
 

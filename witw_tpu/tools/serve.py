@@ -151,12 +151,18 @@ def make_handler(service: GeolocateService):
                     if part.startswith("k="):
                         try:
                             k = int(part[2:])
+                            if k < 1:
+                                raise ValueError(k)
                         except ValueError:
                             self._json(400, {"error": "bad k"})
                             return
                     elif part.startswith("candidates="):
                         try:
                             candidates = int(part[len("candidates="):])
+                            if candidates < 0:
+                                # negative must not silently enable a k-sized
+                                # approximate pool; 0 = exact search
+                                raise ValueError(candidates)
                         except ValueError:
                             self._json(400, {"error": "bad candidates"})
                             return
