@@ -132,7 +132,7 @@ class FovGalleryEvaluator:
         else:
             s_arr = jnp.asarray(s_all)
             dt_arr = jnp.asarray(dt_all)
-        counts = np.asarray(block_fn(*chunk_args, s_arr, dt_arr)).reshape(-1)[:n]
+        counts = _fetch(block_fn(*chunk_args, s_arr, dt_arr)).reshape(-1)[:n]
         # The true pair always satisfies d <= d_true (equality) in exact
         # arithmetic; guard against FFT roundoff dropping the self-match.
         return np.maximum(counts, 1)
@@ -179,12 +179,31 @@ class FovGalleryEvaluator:
         dt_all = dt_all.reshape(n_qblocks, qb)
 
         fn = _make_gallery_sharded_counter(mesh, sw, chunk, per_dev_chunks)
-        counts = np.asarray(fn(gal, valid, jnp.asarray(s_all), jnp.asarray(dt_all)))
+        # Query blocks replicate over the (possibly multi-host) mesh: a plain
+        # jnp.asarray would commit them to this process's default device only.
+        from witw_tpu.parallel.mesh import replicated_sharding
+
+        rsh = replicated_sharding(mesh)
+        s_arr = jax.device_put(s_all, rsh)
+        dt_arr = jax.device_put(dt_all, rsh)
+        counts = _fetch(fn(gal, valid, s_arr, dt_arr))
         counts = counts.reshape(-1)[:n]
         return np.maximum(counts, 1)
 
     def metrics(self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray) -> Dict[str, float]:
         return metrics_from_ranks(self.ranks(overhead_embeds, surface_embeds))
+
+
+def _fetch(x) -> np.ndarray:
+    """Host fetch that also works for arrays whose shards live on OTHER
+    processes' devices (multi-host meshes): np.asarray alone raises there;
+    process_allgather fully replicates a non-addressable global array first
+    (preserving its global shape). Exercised by tests/test_multiprocess.py."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 @functools.partial(jax.jit)
