@@ -244,7 +244,8 @@ def _requant(acc, m, relu):
 
 
 def quantized_fov_forward_static(
-    sq, x, circ_padding: bool = False, x_quantized: bool = False
+    sq, x, circ_padding: bool = False, x_quantized: bool = False,
+    first_conv_im2col: bool = False,
 ):
     """Static-scale int8 forward of the FOV-DSM tower (inference only).
 
@@ -252,7 +253,11 @@ def quantized_fov_forward_static(
     dynamic abs-max reductions. x: normalized NHWC float input — or, with
     ``x_quantized``, an int8 input already in this tower's input-scale domain
     (see preprocess_static_int8). Returns the f32 [B, h, w, 16] embedding map
-    (same contract as FovDsm eval)."""
+    (same contract as FovDsm eval).
+
+    ``first_conv_im2col``: lower conv1_1 as explicit 9-shift int8 patches
+    [B,H,W,27] + a 1x1 conv — a candidate workaround for XLA's degenerate
+    C_in=3 conv layout (measured 9-13 TOPS, NOTES.md round-2b)."""
     w_pad = (0, 0) if circ_padding else (1, 1)
     if x_quantized:
         assert x.dtype == jnp.int8, x.dtype
@@ -264,6 +269,28 @@ def quantized_fov_forward_static(
     def qconv(h_q, entry, strides=(1, 1)):
         return jax.lax.conv_general_dilated(
             h_q, entry["kernel_q"], strides, ((1, 1), w_pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ) + entry["bias_q"]
+
+    def qconv_im2col(h_q, entry):
+        # conv1_1 only: SAME height pad always; width already wrap-padded for
+        # the circular tower (w_pad == (0,0)), zero-padded otherwise.
+        hp = jnp.pad(h_q, ((0, 0), (1, 1), w_pad, (0, 0)))
+        b_, hh, ww, cc = h_q.shape
+        out_w = ww if not circ_padding else ww - 2
+        patches = jnp.concatenate(
+            [
+                hp[:, dy:dy + hh, dx:dx + out_w, :]
+                for dy in range(3)
+                for dx in range(3)
+            ],
+            axis=-1,
+        )  # [B, H, W, 9*C]
+        k = entry["kernel_q"]  # [3, 3, C, Co]
+        k11 = k.reshape(9 * k.shape[2], k.shape[3])[None, None]
+        return jax.lax.conv_general_dilated(
+            patches, k11, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         ) + entry["bias_q"]
@@ -281,10 +308,12 @@ def quantized_fov_forward_static(
     for block_i, block in enumerate(VGG16_BLOCKS):
         if circ_padding:
             h = wrap_pad_width(h, len(block))
-        for torch_idx, _ in block:
+        for conv_i, (torch_idx, _) in enumerate(block):
             entry = sq["vgg"][f"conv_{torch_idx}"]
             if "kernel_bf16" in entry:
                 h = bf16_conv(h, entry)
+            elif block_i == 0 and conv_i == 0 and first_conv_im2col:
+                h = _requant(qconv_im2col(h, entry), entry["requant_m"], relu=True)
             else:
                 h = _requant(qconv(h, entry), entry["requant_m"], relu=True)
         if block_i < 3:
@@ -348,33 +377,43 @@ def quantize_input(x: jnp.ndarray, scale) -> jnp.ndarray:
 
 
 def polar_transform_static_int8(
-    tile_q: jnp.ndarray, surface_height: int, surface_width: int
+    tile_q: jnp.ndarray, surface_height: int, surface_width: int,
+    corner_major: str = "k",
 ) -> jnp.ndarray:
     """Polar-map int8 normalized tiles to int8 pseudo-panoramas.
 
-    Same sampling grid as ops.polar.polar_transform (reference
+    Same sampling grid as ops.polar.polar_grid (reference
     model/cvig_fov.py:156-209); the bilinear blend runs on gathered int8
     corners in f32 and rounds back to the same int8 domain (weights sum to 1
-    in the interior, 0 at boundary samples)."""
+    in the interior, 0 at boundary samples).
+
+    ``corner_major``: layout of the stacked 4-corner gather. "k" gathers
+    corner-major [B, 4, h*w, C]; "p" gathers pixel-major [B, h*w, 4, C] so
+    the blend reduces a minor axis (candidate for fusing the s8->f32 convert
+    into the reduce instead of a standalone relayout pass)."""
     from witw_tpu.ops.polar import polar_grid
 
     b, s, s2, c = tile_q.shape
     assert s == s2 and tile_q.dtype == jnp.int8
     grid = polar_grid(surface_height, surface_width, s)
-    idx = jnp.asarray(grid.idx)
-    weight = jnp.asarray(grid.weight)
+    idx = jnp.asarray(grid.idx)      # [4, h*w]
+    weight = jnp.asarray(grid.weight)  # [4, h*w]
     flat = tile_q.reshape(b, s * s, c)
     # One stacked 4-corner gather + einsum blend. (Measured alternative —
     # four separate per-corner gathers with a fused weighted add — is ~3%
     # slower end-to-end: the per-corner gathers re-walk the tile operand and
     # cost more than the relayout they avoid.)
-    corners = flat[:, idx, :]  # [B, 4, h*w, C] int8
-    out = jnp.einsum("bkpc,kp->bpc", corners.astype(jnp.float32), weight)
+    if corner_major == "p":
+        corners = flat[:, idx.T, :]  # [B, h*w, 4, C] int8
+        out = jnp.einsum("bpkc,kp->bpc", corners.astype(jnp.float32), weight)
+    else:
+        corners = flat[:, idx, :]  # [B, 4, h*w, C] int8
+        out = jnp.einsum("bkpc,kp->bpc", corners.astype(jnp.float32), weight)
     out = jnp.clip(jnp.round(out), -127, 127).astype(jnp.int8)
     return out.reshape(b, grid.out_hw[0], grid.out_hw[1], c)
 
 
-def preprocess_static_int8(data_cfg, sq_s, sq_o, batch, rng):
+def preprocess_static_int8(data_cfg, sq_s, sq_o, batch, rng, corner_major="k"):
     """Serving-path preprocess mirroring FovPipeline._preprocess in int8.
 
     batch: {'surface': [B,H,Wmax,C], 'overhead': [B,S,S,C]} raw uint8-scale.
@@ -409,6 +448,6 @@ def preprocess_static_int8(data_cfg, sq_s, sq_o, batch, rng):
         sq_o["input_scale"],
     )
     polar_q = polar_transform_static_int8(
-        tile_q, d.surface_height, d.surface_width_max
+        tile_q, d.surface_height, d.surface_width_max, corner_major=corner_major
     )
     return surf_q, polar_q
