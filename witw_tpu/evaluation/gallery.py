@@ -32,6 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from witw_tpu.match.distance import paired_chord_distance_fft, window_sq_norms
+from witw_tpu.match.fft_matcher import gallery_vs_queries, query_fft
 
 
 def _pad_to(x: np.ndarray, size: int, axis: int = 0) -> np.ndarray:
@@ -80,27 +81,45 @@ class FovGalleryEvaluator:
         if shard_gallery:
             assert mesh is not None, "shard_gallery requires a mesh"
 
-    def ranks(self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray) -> np.ndarray:
+    def ranks(
+        self,
+        overhead_embeds: np.ndarray,
+        surface_embeds: np.ndarray,
+        true_match: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Rank of each query's true match in the gallery (ties count,
+        reference cvig_fov.py:552). ``true_match``: gallery index of each
+        query's true match [Q]; None = arange (the reference's paired test
+        sets, where Q == G). Asymmetric query/gallery sizes are supported
+        with explicit indices."""
         if self.shard_gallery:
-            return self._ranks_gallery_sharded(overhead_embeds, surface_embeds)
+            return self._ranks_gallery_sharded(
+                overhead_embeds, surface_embeds, true_match
+            )
         n = surface_embeds.shape[0]
-        assert overhead_embeds.shape[0] == n
+        if true_match is None:
+            assert overhead_embeds.shape[0] == n, (
+                "asymmetric query/gallery requires explicit true_match indices"
+            )
+            true_match = np.arange(n)
         sw = surface_embeds.shape[2]
         w = overhead_embeds.shape[2]
 
         # --- true-match distances, one paired O(N) pass ---
         d_true = np.asarray(
             _paired_distance_batched(
-                jnp.asarray(overhead_embeds), jnp.asarray(surface_embeds)
+                jnp.asarray(np.asarray(overhead_embeds)[np.asarray(true_match)]),
+                jnp.asarray(surface_embeds),
             )
         )
 
         # --- precompute gallery quantities ---
+        n_gal = overhead_embeds.shape[0]
         gal = jnp.asarray(overhead_embeds, jnp.float32)
-        n_chunks = -(-n // self.gallery_chunk)
+        n_chunks = -(-n_gal // self.gallery_chunk)
         n_gal_pad = n_chunks * self.gallery_chunk
-        gal = jnp.pad(gal, ((0, n_gal_pad - n), (0, 0), (0, 0), (0, 0)))
-        gal_valid = (jnp.arange(n_gal_pad) < n).reshape(n_chunks, self.gallery_chunk)
+        gal = jnp.pad(gal, ((0, n_gal_pad - n_gal), (0, 0), (0, 0), (0, 0)))
+        gal_valid = (jnp.arange(n_gal_pad) < n_gal).reshape(n_chunks, self.gallery_chunk)
         if self.use_pallas:
             chunk_args = (
                 gal.reshape(n_chunks, self.gallery_chunk, *gal.shape[1:]),
@@ -138,7 +157,10 @@ class FovGalleryEvaluator:
         return np.maximum(counts, 1)
 
     def _ranks_gallery_sharded(
-        self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray
+        self,
+        overhead_embeds: np.ndarray,
+        surface_embeds: np.ndarray,
+        true_match: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Gallery-resident sharded sweep (see __init__). Rank counts are
         integer sums over gallery items, so the psum-of-shards result is
@@ -149,11 +171,17 @@ class FovGalleryEvaluator:
         n_dev = mesh.devices.size
         n = surface_embeds.shape[0]
         n_gal = overhead_embeds.shape[0]
+        if true_match is None:
+            assert n_gal == n, (
+                "asymmetric query/gallery requires explicit true_match indices"
+            )
+            true_match = np.arange(n)
         sw = surface_embeds.shape[2]
 
         d_true = np.asarray(
             _paired_distance_batched(
-                jnp.asarray(overhead_embeds), jnp.asarray(surface_embeds)
+                jnp.asarray(np.asarray(overhead_embeds)[np.asarray(true_match)]),
+                jnp.asarray(surface_embeds),
             )
         )
 
@@ -190,8 +218,15 @@ class FovGalleryEvaluator:
         counts = counts.reshape(-1)[:n]
         return np.maximum(counts, 1)
 
-    def metrics(self, overhead_embeds: np.ndarray, surface_embeds: np.ndarray) -> Dict[str, float]:
-        return metrics_from_ranks(self.ranks(overhead_embeds, surface_embeds))
+    def metrics(
+        self,
+        overhead_embeds: np.ndarray,
+        surface_embeds: np.ndarray,
+        true_match: Optional[np.ndarray] = None,
+    ) -> Dict[str, float]:
+        return metrics_from_ranks(
+            self.ranks(overhead_embeds, surface_embeds, true_match)
+        )
 
 
 def _fetch(x) -> np.ndarray:
@@ -220,36 +255,16 @@ def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, s_blocks,
     valid_chunks: bool [C, G]; s_blocks: [NB, Q, h, sw, c];
     d_true_blocks: [NB, Q]. Returns int32 [NB, Q]. Pure (trace-time) function
     shared by the query-sharded and gallery-sharded counters."""
-    sw = s_blocks.shape[3]
 
     def one_qblock(args):
         s_block, d_true_block = args
-        s = s_block.astype(jnp.float32)
-        s_pad = (
-            jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
-        )
-        fs = jnp.fft.rfft(s_pad, axis=2)  # [Q, h, wf, c]
-        s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))  # [Q]
+        fs, s_norm = query_fft(s_block, w)  # [Q, h, wf, c], [Q]
 
         def one_chunk(args):
             fo, wsq, valid = args
-            prod = jnp.einsum(
-                "ghfc,qhfc->gqf", fo, jnp.conj(fs),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [G, Q, w]
-            # Orientation = argmax of the *unnormalized* correlation
-            # (reference cvig_fov.py:312-313); its value is the max.
-            corr_max = jnp.max(corr, axis=-1)  # [G, Q]
-            orient = jnp.argmax(corr, axis=-1)  # [G, Q]
-            wsq_at = jnp.take_along_axis(
-                jnp.broadcast_to(wsq[:, None, :], corr.shape),
-                orient[..., None], axis=-1,
-            )[..., 0]
-            cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
-                s_norm[None, :], 1e-10
-            )
-            d = 2.0 * (1.0 - cos)  # [G, Q]
+            # Shared FFT matcher kernel (match/fft_matcher.py); orientation =
+            # argmax of the *unnormalized* correlation (cvig_fov.py:312-313).
+            d, _ = gallery_vs_queries(fo, wsq, fs, s_norm, w)  # [G, Q]
             le = (d <= d_true_block[None, :]) & valid[:, None]
             return jnp.sum(le.astype(jnp.int32), axis=0)  # [Q]
 

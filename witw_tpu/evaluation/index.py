@@ -20,46 +20,24 @@ import numpy as np
 from functools import partial
 
 from witw_tpu.match.distance import window_sq_norms
+from witw_tpu.match.fft_matcher import (
+    candidates_vs_queries,
+    gallery_vs_queries,
+    query_fft,
+)
 
-
-@partial(jax.jit, static_argnames=("w",))
-def _chunk_distances(fo_c, wsq_c, fs, s_norm, *, w):
-    """Chord distances + orientations of one gallery chunk against all
-    queries: [G, Q] each. Module-level jit: compiled once per (shape, w),
-    not once per search() call."""
-    prod = jnp.einsum(
-        "ghfc,qhfc->gqf", fo_c, jnp.conj(fs),
-        precision=jax.lax.Precision.HIGHEST,
+# Module-level jits of the shared FFT matcher kernel (match/fft_matcher.py):
+# compiled once per (shape, w), not once per search() call.
+_chunk_distances = partial(jax.jit, static_argnames=("w",))(
+    lambda fo_c, wsq_c, fs, s_norm, *, w: gallery_vs_queries(
+        fo_c, wsq_c, fs, s_norm, w
     )
-    corr = jnp.fft.irfft(prod, n=w, axis=-1)
-    corr_max = jnp.max(corr, axis=-1)
-    orient = jnp.argmax(corr, axis=-1)
-    wsq_at = jnp.take_along_axis(
-        jnp.broadcast_to(wsq_c[:, None, :], corr.shape),
-        orient[..., None], axis=-1,
-    )[..., 0]
-    cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
-        s_norm[None, :], 1e-10
+)
+_rerank_distances = partial(jax.jit, static_argnames=("w",))(
+    lambda fo, wsq, fs, s_norm, *, w: candidates_vs_queries(
+        fo, wsq, fs, s_norm, w
     )
-    return 2.0 * (1.0 - cos), orient
-
-
-@partial(jax.jit, static_argnames=("w",))
-def _rerank_distances(fo, wsq, fs, s_norm, *, w):
-    """Per-query candidate rerank: fo [Q, M, h, wf, c], wsq [Q, M, w],
-    fs [Q, h, wf, c], s_norm [Q] -> distances/orientations [Q, M]."""
-    prod = jnp.einsum(
-        "qmhfc,qhfc->qmf", fo, jnp.conj(fs),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    corr = jnp.fft.irfft(prod, n=w, axis=-1)
-    corr_max = jnp.max(corr, axis=-1)
-    orient = jnp.argmax(corr, axis=-1)
-    wsq_at = jnp.take_along_axis(wsq, orient[..., None], axis=-1)[..., 0]
-    cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
-        s_norm[:, None], 1e-10
-    )
-    return 2.0 * (1.0 - cos), orient
+)
 
 
 class GalleryIndex:
@@ -114,10 +92,7 @@ class GalleryIndex:
         q = surface_embeds.shape[0]
         sw = surface_embeds.shape[2]
         w = self.embeds.shape[2]
-        s = jnp.asarray(surface_embeds, jnp.float32)
-        s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
-        fs = jnp.fft.rfft(s_pad, axis=2)
-        s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
+        fs, s_norm = query_fft(jnp.asarray(surface_embeds), w)
 
         out_d = np.empty((n, q), np.float32)
         out_o = np.empty((n, q), np.int32)
@@ -211,9 +186,7 @@ class GalleryIndex:
         sims = np.asarray(jnp.max(jnp.einsum("qd,nsd->qns", sp, pooled), axis=2))
         cand = np.argpartition(-sims, m - 1, axis=1)[:, :m]  # [Q, M]
 
-        s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
-        fs_all = jnp.fft.rfft(s_pad, axis=2)
-        s_norm_all = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
+        fs_all, s_norm_all = query_fft(s, w)
 
         out_i = np.empty((q, k), np.int64)
         out_d = np.empty((q, k), np.float32)
@@ -257,11 +230,7 @@ class GalleryIndex:
         sw = surface_embeds.shape[2]
         w = self.embeds.shape[2]
         fo, wsq = self._gallery_fft(sw)
-
-        s = jnp.asarray(surface_embeds, jnp.float32)
-        s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
-        fs = jnp.fft.rfft(s_pad, axis=2)
-        s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
+        fs, s_norm = query_fft(jnp.asarray(surface_embeds), w)
 
         best_d = np.full((q, k), np.inf, np.float32)
         best_i = np.full((q, k), -1, np.int64)

@@ -1,0 +1,78 @@
+"""The ONE FFT correlation + chord-distance kernel (VERDICT r2 weak #8).
+
+Every gallery-scale matcher — the rank evaluator (evaluation/gallery.py),
+the serving index's chunked search / per-query rerank (evaluation/index.py),
+and through them the heatmap sweep (tools/heatmap.py) — computes the same
+thing: circular width-correlation of overhead feature maps against query
+maps via rFFT (mathematically equal to the reference's conv2d trick,
+model/cvig_fov.py:297-315), argmax orientation, and the streaming crop-free
+chord distance 2*(1-cos) (cvig_fov.py:318-363; see match/distance.py for the
+identity). This module is the single implementation; callers differ only in
+which batch axes the correlation einsum pairs.
+
+All functions are pure and trace-time (jit/shard_map-composable).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def query_fft(s: jax.Array, w: int) -> Tuple[jax.Array, jax.Array]:
+    """Query maps [Q, h, sw, c] -> (rFFT of the zero-padded maps
+    [Q, h, wf, c], L2 norms [Q]) for gallery width ``w``."""
+    s = s.astype(jnp.float32)
+    sw = s.shape[2]
+    s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
+    fs = jnp.fft.rfft(s_pad, axis=2)
+    s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
+    return fs, s_norm
+
+
+def chord_scores(
+    corr: jax.Array, wsq: jax.Array, s_norm: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Distances + orientations from correlation values.
+
+    corr: [..., w] circular correlation along width; wsq: window squared
+    norms, broadcastable to corr; s_norm: query norms, broadcastable to
+    corr[..., 0]. Orientation is the argmax of the UNNORMALIZED correlation
+    (reference cvig_fov.py:312-313); the chord distance normalizes its value
+    by the crop norm at that shift and the query norm."""
+    corr_max = jnp.max(corr, axis=-1)
+    orient = jnp.argmax(corr, axis=-1)
+    wsq_at = jnp.take_along_axis(
+        jnp.broadcast_to(wsq, corr.shape), orient[..., None], axis=-1
+    )[..., 0]
+    cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
+        s_norm, 1e-10
+    )
+    return 2.0 * (1.0 - cos), orient
+
+
+def gallery_vs_queries(
+    fo: jax.Array, wsq: jax.Array, fs: jax.Array, s_norm: jax.Array, w: int
+) -> Tuple[jax.Array, jax.Array]:
+    """All-pairs form: gallery FFTs [G, h, wf, c] x query FFTs [Q, h, wf, c]
+    -> (distances [G, Q], orientations [G, Q]). wsq: [G, w], s_norm: [Q]."""
+    prod = jnp.einsum(
+        "ghfc,qhfc->gqf", fo, jnp.conj(fs), precision=jax.lax.Precision.HIGHEST
+    )
+    corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [G, Q, w]
+    return chord_scores(corr, wsq[:, None, :], s_norm[None, :])
+
+
+def candidates_vs_queries(
+    fo: jax.Array, wsq: jax.Array, fs: jax.Array, s_norm: jax.Array, w: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-query candidate form: each query q against ITS OWN M candidates.
+    fo: [Q, M, h, wf, c], wsq: [Q, M, w], fs: [Q, h, wf, c], s_norm: [Q]
+    -> (distances [Q, M], orientations [Q, M])."""
+    prod = jnp.einsum(
+        "qmhfc,qhfc->qmf", fo, jnp.conj(fs), precision=jax.lax.Precision.HIGHEST
+    )
+    corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [Q, M, w]
+    return chord_scores(corr, wsq, s_norm[:, None])
