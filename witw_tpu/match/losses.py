@@ -15,21 +15,36 @@ import jax
 import jax.numpy as jnp
 
 
-def dsm_triplet_loss(distances: jax.Array, alpha: float = 10.0) -> jax.Array:
+def dsm_triplet_loss(
+    distances: jax.Array, alpha: float = 10.0, valid: jax.Array = None
+) -> jax.Array:
     """Soft-margin triplet loss on a [B, B] distance matrix whose diagonal
     holds the matching pairs (reference cvig_fov.py:366-382). Both
     query->gallery and gallery->query directions, normalized by 2B(B-1).
-    The diagonal contributes the same constant 2B*log(2) as the reference."""
-    b = distances.shape[0]
+    The diagonal contributes the same constant 2B*log(2) as the reference.
+
+    ``valid``: optional bool [B] marking real rows in a padded batch (the
+    sharded straggler path pads to the data-axis multiple); restricting the
+    pair sums and the normalizer to valid x valid pairs makes the result
+    exactly the unpadded batch's loss."""
     matching = jnp.diagonal(distances)
     d_s2o = matching[None, :] - distances  # matching_dists - distances
     d_o2s = matching[:, None] - distances
     # softplus == log(1+exp(x)) exactly, but stays finite past x ~ 88 where
     # float32 exp overflows to inf (and the gradient to NaN).
-    loss = jnp.sum(jax.nn.softplus(alpha * d_s2o)) + jnp.sum(
-        jax.nn.softplus(alpha * d_o2s)
+    if valid is None:
+        b = distances.shape[0]
+        loss = jnp.sum(jax.nn.softplus(alpha * d_s2o)) + jnp.sum(
+            jax.nn.softplus(alpha * d_o2s)
+        )
+        return loss / (2.0 * b * (b - 1))
+    v = valid.astype(jnp.float32)
+    pair = v[:, None] * v[None, :]
+    nv = jnp.sum(v)
+    loss = jnp.sum(jax.nn.softplus(alpha * d_s2o) * pair) + jnp.sum(
+        jax.nn.softplus(alpha * d_o2s) * pair
     )
-    return loss / (2.0 * b * (b - 1))
+    return loss / jnp.maximum(2.0 * nv * (nv - 1.0), 1.0)
 
 
 def pairwise_sq_distances(embed1: jax.Array, embed2: jax.Array) -> jax.Array:
@@ -49,6 +64,7 @@ def exhaustive_minibatch_triplet_loss(
     soft_margin: bool = False,
     alpha: float = 10.0,
     margin: float = 1.0,
+    valid: jax.Array = None,
 ) -> jax.Array:
     """All valid (anchor, positive, negative) triplets from a minibatch of
     paired embeddings, squared Euclidean distances (reference
@@ -57,6 +73,9 @@ def exhaustive_minibatch_triplet_loss(
     With D2 the pairwise squared-distance matrix and d_i = D2[i, i], the
     reference's two roll orderings sum, over all i != j,
     f(d_i - D2[i, j]) + f(d_i - D2[j, i]), normalized by 2B(B-1).
+
+    ``valid``: optional bool [B]; pair terms and the normalizer restrict to
+    valid x valid — exactly the unpadded batch's loss (see dsm_triplet_loss).
     """
     b = embed1.shape[0]
     d2 = pairwise_sq_distances(embed1, embed2)
@@ -72,5 +91,11 @@ def exhaustive_minibatch_triplet_loss(
         f_rows = jax.nn.relu(delta_rows + margin)
         f_cols = jax.nn.relu(delta_cols + margin)
     mask = 1.0 - jnp.eye(b)
+    if valid is None:
+        loss = jnp.sum((f_rows + f_cols) * mask)
+        return loss / (2.0 * b * (b - 1))
+    v = valid.astype(jnp.float32)
+    mask = mask * (v[:, None] * v[None, :])
+    nv = jnp.sum(v)
     loss = jnp.sum((f_rows + f_cols) * mask)
-    return loss / (2.0 * b * (b - 1))
+    return loss / jnp.maximum(2.0 * nv * (nv - 1.0), 1.0)

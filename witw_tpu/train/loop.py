@@ -33,8 +33,15 @@ from witw_tpu.train.pipeline import BaselinePipeline, FovPipeline, TrainState
 def device_prefetch(loader: Iterable, mesh=None, depth: int = 2):
     """Move batches to device ``depth`` iterations ahead of consumption so
     host->device transfer overlaps the previous step's compute (jax transfers
-    are async; the arrays materialize while the prior step runs). Yields
-    {'surface', 'overhead'} device arrays, sharded over ``mesh`` if given."""
+    are async; the arrays materialize while the prior step runs).
+
+    Yields (data, n_valid): {'surface', 'overhead'[, 'valid']} device arrays
+    sharded over ``mesh`` if given, and the number of real rows. A straggler
+    batch not divisible by the data axis is zero-PADDED to the next multiple
+    and sharded like every other batch (no unsharded step, no odd-size
+    compile); the bool 'valid' mask marks real rows and the jitted losses
+    restrict pair sums to valid x valid — exactly the unpadded batch's loss
+    (match/losses.py)."""
     import collections
 
     import jax.numpy as jnp
@@ -45,13 +52,19 @@ def device_prefetch(loader: Iterable, mesh=None, depth: int = 2):
     for batch in loader:
         data = {k: v for k, v in batch.items() if k in ("surface", "overhead")}
         n = len(next(iter(data.values())))
-        if mesh is not None and n % mesh.shape[DATA_AXIS] == 0:
+        if mesh is not None:
+            n_dev = mesh.shape[DATA_AXIS]
+            if n % n_dev:
+                pad = n_dev - n % n_dev
+                data = {
+                    k: np.pad(np.asarray(v), [(0, pad)] + [(0, 0)] * (np.ndim(v) - 1))
+                    for k, v in data.items()
+                }
+                data["valid"] = np.arange(n + pad) < n
             data = shard_batch(data, mesh)
         else:
-            # straggler batch not divisible by the data axis: replicate
-            # (correctness first; only the last partial batch hits this)
             data = jax.tree.map(jnp.asarray, data)
-        buf.append(data)
+        buf.append((data, n))
         if len(buf) >= depth:
             yield buf.popleft()
     while buf:
@@ -81,8 +94,7 @@ def run_phase(
     running_count = 0
     losses = []
     timer = None
-    for batch_i, batch in enumerate(device_prefetch(loader, mesh)):
-        count = int(batch["surface"].shape[0])
+    for batch_i, (batch, count) in enumerate(device_prefetch(loader, mesh)):
         if timer is None:
             timer = StepTimer(items_per_step=count)
         timer.tick()
@@ -249,11 +261,12 @@ def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=
         rng = jax.random.PRNGKey(0)
     surfaces = []
     overheads = []
-    for data in device_prefetch(loader, mesh):
+    for data, n_valid in device_prefetch(loader, mesh):
         rng, step_rng = jax.random.split(rng)
         s_emb, o_emb = pipeline.embed_step(state, data, step_rng)
-        surfaces.append(_fetch_global(s_emb))
-        overheads.append(_fetch_global(o_emb))
+        # padded straggler rows (sharded path) are dropped after the fetch
+        surfaces.append(_fetch_global(s_emb)[:n_valid])
+        overheads.append(_fetch_global(o_emb)[:n_valid])
     return np.concatenate(surfaces), np.concatenate(overheads)
 
 

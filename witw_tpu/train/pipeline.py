@@ -158,7 +158,12 @@ class FovPipeline:
         )
         corr = circular_correlation(o_emb, s_emb, method="matmul")
         distance, orientation = chord_distance(o_emb, s_emb, corr)
-        loss = dsm_triplet_loss(distance, alpha=self.cfg.match.alpha)
+        # batch["valid"] (bool [B], optional) marks real rows when the
+        # straggler batch was padded to the data-axis multiple for sharding;
+        # masking makes the loss exactly the unpadded batch's loss.
+        loss = dsm_triplet_loss(
+            distance, alpha=self.cfg.match.alpha, valid=batch.get("valid")
+        )
         return loss, {"distance": distance, "orientation": orientation}
 
     # ---- jitted steps ----
@@ -274,6 +279,7 @@ class BaselinePipeline:
             soft_margin=self.cfg.match.soft_margin,
             alpha=self.cfg.match.alpha,
             margin=self.cfg.match.margin,
+            valid=batch.get("valid"),
         )
         return loss, new_stats, (s_emb, o_emb)
 
@@ -374,7 +380,9 @@ class SafaPipeline:
         from witw_tpu.match.losses import pairwise_sq_distances
 
         d2 = pairwise_sq_distances(o_emb, s_emb)  # [B_o, B_s]
-        loss = dsm_triplet_loss(d2, alpha=self.cfg.match.alpha)
+        loss = dsm_triplet_loss(
+            d2, alpha=self.cfg.match.alpha, valid=batch.get("valid")
+        )
         return loss, (s_emb, o_emb)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
