@@ -154,6 +154,45 @@ def collect_photos(bbox: BBox, cfg: ScraperConfig, api=_api_call) -> List[Dict]:
     return photos
 
 
+def read_metadata(city_dir: str) -> List[Dict]:
+    """Previously saved records for a city, [] when absent or corrupt
+    (a torn write can't happen — snapshots are atomic — but a hand-edited
+    file shouldn't kill a week-long scrape). Reference
+    tools/download/flickr/src/metadata.py:70-137 (read_metadata)."""
+    try:
+        with open(os.path.join(city_dir, "metadata.json")) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError, ValueError):
+        return []
+
+
+def get_known_urls(city_dir: str) -> List[str]:
+    """Original-size URLs of every previously saved record (reference
+    metadata.py get_known_urls)."""
+    return [
+        r["url_o"] for r in read_metadata(city_dir) if r.get("url_o")
+    ]
+
+
+def _write_snapshot(city_dir: str, records: List[Dict]) -> None:
+    """Atomic metadata.json + urls write (tmp + rename): a kill mid-write
+    never loses the previous snapshot."""
+    os.makedirs(city_dir, exist_ok=True)
+    meta_path = os.path.join(city_dir, "metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(records, f)
+    os.replace(tmp, meta_path)
+    urls_path = os.path.join(city_dir, "urls")
+    tmp = urls_path + ".tmp"
+    with open(tmp, "w") as f:
+        for rec in records:
+            url = rec.get("url_o")
+            if url:
+                f.write(url + "\n")
+    os.replace(tmp, urls_path)
+
+
 def scrape_city(
     city: str,
     cfg: ScraperConfig,
@@ -161,29 +200,38 @@ def scrape_city(
     on_photo: Optional[Callable[[Dict], None]] = None,
 ) -> List[Dict]:
     """Scrape one city; writes metadata.json + urls files
-    (reference flickr_search.py:250-276). Returns the deduped records."""
+    (reference flickr_search.py:250-276). Returns the deduped records.
+
+    Cross-run resume (reference metadata.py:70-137): previously saved
+    records seed the dedup set and are MERGED with — never overwritten by —
+    this run's finds; a snapshot is written atomically after every completed
+    box, so an interrupted week-long scrape resumes where it stopped and a
+    re-run converges to the same deduped set. ``on_photo`` fires only for
+    photos not already known from an earlier run."""
     bbox = cfg.cities[city]
+    city_dir = os.path.join(cfg.out_dir, city)
+    # seed with earlier runs' records: incremental merge, not overwrite
+    seen: Dict[str, Dict] = {
+        str(rec.get("id")): rec for rec in read_metadata(city_dir)
+    }
+    n_resumed = len(seen)
     boxes = partition_bboxes(bbox, cfg, api)
-    seen: Dict[str, Dict] = {}
     for box in boxes:
+        new_in_box = 0
         for photo in collect_photos(box, cfg, api):
             pid = str(photo.get("id"))
             if pid in seen:
                 continue
             seen[pid] = photo
+            new_in_box += 1
             if on_photo is not None:
                 on_photo(photo)
-    records = list(seen.values())
+        if new_in_box:
+            _write_snapshot(city_dir, list(seen.values()))
 
-    city_dir = os.path.join(cfg.out_dir, city)
-    os.makedirs(city_dir, exist_ok=True)
-    with open(os.path.join(city_dir, "metadata.json"), "w") as f:
-        json.dump(records, f)
-    with open(os.path.join(city_dir, "urls"), "w") as f:
-        for rec in records:
-            url = rec.get("url_o")
-            if url:
-                f.write(url + "\n")
+    records = list(seen.values())
+    if not records or n_resumed == len(records):
+        _write_snapshot(city_dir, records)  # nothing new: still (re)write
     return records
 
 
