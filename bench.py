@@ -39,8 +39,8 @@ import numpy as np
 
 V100_REFERENCE_PAIRS_PER_SEC = 300.0  # documented estimate, see module docstring
 BATCH = 128
-SCAN_STEPS = 4
-REPS = 3
+SCAN_STEPS = 8  # longer scan amortizes dispatch jitter (driver-vs-local spread)
+REPS = 7
 
 
 def main(int8: bool = True):
@@ -121,18 +121,27 @@ def main(int8: bool = True):
         return surf[0, 0, 0, 0, 0] * 2.0
 
     def measure(fn, *args):
+        """Best and median of REPS timed runs (after a compile+warm run).
+        Best is the headline (least dispatch jitter); the median must sit
+        within a few % of it or the harness itself is noisy (VERDICT r2
+        weak #3 asked for a <2% driver-vs-local spread)."""
         np.asarray(fn(*args))  # compile + first run
-        best = float("inf")
+        times = []
         for _ in range(REPS):
             start = time.perf_counter()
             np.asarray(fn(*args))  # hard sync
-            best = min(best, time.perf_counter() - start)
-        return best
+            times.append(time.perf_counter() - start)
+        times.sort()
+        return times[0], times[len(times) // 2]
 
-    overhead = measure(empty_dispatch, surf)
-    total = measure(scan_steps, state.params, surf, over)
-    device_time = max(total - overhead, 1e-6)
+    overhead, _ = measure(empty_dispatch, surf)
+    best, med = measure(scan_steps, state.params, surf, over)
+    device_time = max(best - overhead, 1e-6)
     pairs_per_sec = BATCH * SCAN_STEPS / device_time
+    pairs_median = BATCH * SCAN_STEPS / max(med - overhead, 1e-6)
+    # keep the headline honest: best must not be a one-off outlier
+    if pairs_per_sec > 1.05 * pairs_median:
+        pairs_per_sec = pairs_median
 
     print(
         json.dumps(
@@ -147,6 +156,7 @@ def main(int8: bool = True):
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / V100_REFERENCE_PAIRS_PER_SEC, 3),
+                "value_median": round(pairs_median, 2),
             }
         )
     )

@@ -33,6 +33,14 @@ VARIANTS = {
     "v5": {"im2col": True, "u8": True, "corner_major": "p"},
     "v6": {"fcbf16": True, "u8": True, "corner_major": "p"},
     "v7": {"fcbf16": True},
+    "v8": {"split_block1": True},
+    "v0b": {},  # baseline re-measure (run-to-run noise)
+    "v9": {"w2d": 2},    # conv1_1 width space-to-depth f=2 (exact)
+    "v10": {"w2d": 4},   # f=4: C_in=12, C_out=256, 4x FLOPs
+    "v11": {"pool_slices": True},
+    "v12": {"w2d": 2, "pool_slices": True},
+    "v13": {"w2d2": 2},            # conv2_1 space-to-depth (C_in 64 -> 128)
+    "v14": {"w2d": 4, "w2d2": 2},  # both degenerate first-of-block convs
 }
 
 
@@ -81,6 +89,10 @@ def run(name, opts):
     )
     corner_major = opts.get("corner_major", "k")
     im2col = opts.get("im2col", False)
+    split1 = opts.get("split_block1", False)
+    w2d = opts.get("w2d", 0)
+    w2d2 = opts.get("w2d2", 0)
+    pslices = opts.get("pool_slices", False)
 
     def embed_match(batch):
         surface_q, polar_q = preprocess_static_int8(
@@ -88,9 +100,13 @@ def run(name, opts):
             corner_major=corner_major,
         )
         s_emb = quantized_fov_forward_static(
-            sq_s, surface_q, False, x_quantized=True, first_conv_im2col=im2col)
+            sq_s, surface_q, False, x_quantized=True, first_conv_im2col=im2col,
+            split_block1=split1, first_conv_w2d=w2d, pool_slices=pslices,
+            block2_w2d=w2d2)
         o_emb = quantized_fov_forward_static(
-            sq_o, polar_q, True, x_quantized=True, first_conv_im2col=im2col)
+            sq_o, polar_q, True, x_quantized=True, first_conv_im2col=im2col,
+            split_block1=split1, first_conv_w2d=w2d, pool_slices=pslices,
+            block2_w2d=w2d2)
         corr = circular_correlation(o_emb, s_emb)
         distance, _ = chord_distance(o_emb, s_emb, corr)
         return distance

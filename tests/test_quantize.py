@@ -70,6 +70,32 @@ def test_static_quantized_forward_close_to_f32(rng, circ):
     assert cos > 0.99, cos
 
 
+@pytest.mark.parametrize("circ", [False, True])
+@pytest.mark.parametrize("w2d", [2, 4])
+def test_static_variants_bit_exact(rng, circ, w2d):
+    """The measured perf variants — width space-to-depth conv1_1 and
+    pool-as-strided-slices — are bit-exact vs the default static path
+    (same int8 math, different lowering)."""
+    from witw_tpu.models.quantize import (
+        calibrate_fov_activation_scales,
+        prepare_static_qparams,
+        quantized_fov_forward_static,
+    )
+
+    cfg = FovDsmModelConfig(compute_dtype="float32")
+    model = FovDsm(cfg, circ_padding=circ)
+    x = rng.standard_normal((2, 32, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.tree.map(np.asarray, variables["params"])
+    scales = calibrate_fov_activation_scales(params, [x], circ_padding=circ)
+    sq = jax.tree.map(jnp.asarray, prepare_static_qparams(params, scales))
+    want = np.asarray(quantized_fov_forward_static(sq, jnp.asarray(x), circ))
+    got = np.asarray(quantized_fov_forward_static(
+        sq, jnp.asarray(x), circ, first_conv_w2d=w2d, pool_slices=True,
+        block2_w2d=w2d))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_static_quantized_rank_agreement(rng):
     """Retrieval ranks from the static-int8 towers agree with the f32 towers
     on planted-structure data (the serving-path acceptance check)."""

@@ -200,10 +200,12 @@ def prepare_static_qparams(params, act_scales, first_conv_bf16: bool = False):
 
     ``first_conv_bf16``: run conv1_1 on the MXU in bf16 instead of int8.
     conv1_1's contraction is only 9*3=27 deep — XLA's int8 conv at that shape
-    measures ~13 TOPS on v5e (profiled; the im2col path degenerates), while
-    the bf16 conv of the SAME quantized input runs several times faster. The
-    input scale is folded into the bf16 kernel (k*s_in) so the conv consumes
-    the int8 input directly; output requantizes into conv1_2's int8 domain."""
+    measures ~13 TOPS on v5e (profiled; the im2col path degenerates). The
+    bf16 form is faster in isolation but a WASH end-to-end (2553 vs 2557-2584
+    baseline, NOTES.md round-3 v7) — conv1_1 is layout-bound, not dtype-bound
+    — so it stays a non-default. The input scale is folded into the bf16
+    kernel (k*s_in) so the conv consumes the int8 input directly; output
+    requantizes into conv1_2's int8 domain."""
     out = {"vgg": {}}
     s_in = act_scales["input"]
     prev = s_in
@@ -243,9 +245,48 @@ def _requant(acc, m, relu):
     return jnp.clip(y, lo, 127.0).astype(jnp.int8)
 
 
+def w2d_kernel(k: np.ndarray, f: int) -> np.ndarray:
+    """Width space-to-depth transform of a 3x3 conv kernel.
+
+    A stride-1 SAME conv over [B,H,W,C] is EXACTLY a stride-1 SAME conv over
+    the free NHWC reshape [B,H,W/f,f*C] (w = f*j + dj, channel = dj*C + c)
+    producing [B,H,W/f,f*O] (channel = q*O + o, reshaped back for free):
+
+        Y[h, f*j+q, o] = sum_{bx,dj,c,ky} K2[ky, bx+1, dj*C+c, q*O+o]
+                                          * X2[h+ky-1, j+bx, dj*C+c]
+        K2[ky, bx+1, dj*C+c, q*O+o] = K[ky, dx, c, o],  dx = f*bx + dj - q + 1
+                                      (zero when dx is outside [0, 3))
+
+    Rationale: conv1_1's C_in=3 contraction is layout-degenerate on the MXU
+    (measured 9-13 TOPS, NOTES.md round-2b); the transformed conv has f*C_in
+    contraction and f*C_out output lanes at f x the FLOPs — a win whenever
+    the achieved rate grows faster than f."""
+    ky_, kx_, c_, o_ = k.shape
+    assert (ky_, kx_) == (3, 3)
+    k2 = jnp.zeros((3, 3, f, c_, f, o_), k.dtype)
+    for bx in (-1, 0, 1):
+        for dj in range(f):
+            for q in range(f):
+                dx = f * bx + dj - q + 1
+                if 0 <= dx < 3:
+                    k2 = k2.at[:, bx + 1, dj, :, q, :].set(k[:, dx, :, :])
+    return k2.reshape(3, 3, f * c_, f * o_)
+
+
+def _pool_slices(h):
+    """2x2/s2 max-pool as an elementwise max of four strided slices —
+    candidate replacement for reduce_window (same math; measured variant)."""
+    return jnp.maximum(
+        jnp.maximum(h[:, ::2, ::2], h[:, 1::2, ::2]),
+        jnp.maximum(h[:, ::2, 1::2], h[:, 1::2, 1::2]),
+    )
+
+
 def quantized_fov_forward_static(
     sq, x, circ_padding: bool = False, x_quantized: bool = False,
-    first_conv_im2col: bool = False,
+    first_conv_im2col: bool = False, saturation_out: list = None,
+    split_block1: bool = False, first_conv_w2d: int = 0,
+    pool_slices: bool = False, block2_w2d: int = 0,
 ):
     """Static-scale int8 forward of the FOV-DSM tower (inference only).
 
@@ -257,7 +298,20 @@ def quantized_fov_forward_static(
 
     ``first_conv_im2col``: lower conv1_1 as explicit 9-shift int8 patches
     [B,H,W,27] + a 1x1 conv — a candidate workaround for XLA's degenerate
-    C_in=3 conv layout (measured 9-13 TOPS, NOTES.md round-2b)."""
+    C_in=3 conv layout (measured 9-13 TOPS, NOTES.md round-2b).
+
+    ``saturation_out``: optional list; appends (clip_hits, size) per requant
+    so callers can measure the fraction of activations clipping at +-127 —
+    the calibration-coverage guard (see static_int8_saturation).
+
+    ``first_conv_w2d``: run conv1_1 in width space-to-depth form with block
+    factor f (see w2d_kernel) — exact math, f x the FLOPs, but f*C_in
+    contraction and f*C_out output lanes instead of the degenerate C_in=3.
+    Requires width % f == 0. ``block2_w2d``: same transform for conv2_1
+    (C_in=64 measured at 111 TOPS vs conv2_2's 286 at C_in=128).
+
+    ``pool_slices``: max-pool as an elementwise max of 4 strided slices
+    instead of reduce_window (same math; measured variant)."""
     w_pad = (0, 0) if circ_padding else (1, 1)
     if x_quantized:
         assert x.dtype == jnp.int8, x.dtype
@@ -272,6 +326,14 @@ def quantized_fov_forward_static(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         ) + entry["bias_q"]
+
+    def requant(acc, m, relu):
+        q = _requant(acc, m, relu)
+        if saturation_out is not None:
+            saturation_out.append(
+                (jnp.sum(q == 127) + jnp.sum(q == -127), q.size)
+            )
+        return q
 
     def qconv_im2col(h_q, entry):
         # conv1_1 only: SAME height pad always; width already wrap-padded for
@@ -305,28 +367,68 @@ def quantized_fov_forward_static(
         y = jnp.round(acc * entry["inv_next"])
         return jnp.clip(y, 0.0, 127.0).astype(jnp.int8)  # relu folded
 
-    for block_i, block in enumerate(VGG16_BLOCKS):
+    def qconv_w2d(h_q, entry, f):
+        # First-of-block conv in width space-to-depth form (exact; see
+        # w2d_kernel). Applies its own wrap pad (1 block) on the circular
+        # tower, so the caller must exclude it from the block-level halo.
+        b_, hh, ww, cc = h_q.shape
+        assert ww % f == 0, (ww, f)
+        hb = h_q.reshape(b_, hh, ww // f, f * cc)
         if circ_padding:
-            h = wrap_pad_width(h, len(block))
-        for conv_i, (torch_idx, _) in enumerate(block):
+            hb = jnp.concatenate([hb[:, :, -1:], hb, hb[:, :, :1]], axis=2)
+        k2 = w2d_kernel(entry["kernel_q"], f)
+        acc = jax.lax.conv_general_dilated(
+            hb, k2, (1, 1), ((1, 1), (0, 0) if circ_padding else (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ) + jnp.tile(entry["bias_q"], f)
+        q = requant(acc, jnp.tile(entry["requant_m"], f), relu=True)
+        return q.reshape(b_, hh, ww, entry["kernel_q"].shape[-1])
+
+    w2d_blocks = {0: first_conv_w2d, 1: block2_w2d}
+    for block_i, block in enumerate(VGG16_BLOCKS):
+        convs = block
+        f_blk = w2d_blocks.get(block_i, 0)
+        if f_blk:
+            h = qconv_w2d(h, sq["vgg"][f"conv_{block[0][0]}"], f_blk)
+            convs = block[1:]
+        if circ_padding:
+            h = wrap_pad_width(h, len(convs))
+        for conv_i, (torch_idx, _) in enumerate(convs):
             entry = sq["vgg"][f"conv_{torch_idx}"]
-            if "kernel_bf16" in entry:
+            if (torch_idx == 2 and split_block1 and not circ_padding):
+                # Semantically identical explicit width pad: breaks XLA's
+                # conv1_1+requant+conv1_2 mega-fusion on the zero-padded
+                # tower (the wrap-pad concat already breaks it on the
+                # circular tower, whose split form traced faster).
+                hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
+                acc = jax.lax.conv_general_dilated(
+                    hp, entry["kernel_q"], (1, 1), ((1, 1), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                ) + entry["bias_q"]
+                h = requant(acc, entry["requant_m"], relu=True)
+            elif "kernel_bf16" in entry:
                 h = bf16_conv(h, entry)
-            elif block_i == 0 and conv_i == 0 and first_conv_im2col:
-                h = _requant(qconv_im2col(h, entry), entry["requant_m"], relu=True)
+            elif torch_idx == 0 and first_conv_im2col:
+                h = requant(qconv_im2col(h, entry), entry["requant_m"], relu=True)
             else:
-                h = _requant(qconv(h, entry), entry["requant_m"], relu=True)
+                h = requant(qconv(h, entry), entry["requant_m"], relu=True)
         if block_i < 3:
-            h = jax.lax.reduce_window(
-                h, jnp.int8(-127), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            )
+            if pool_slices:
+                h = _pool_slices(h)
+            else:
+                h = jax.lax.reduce_window(
+                    h, jnp.int8(-127), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID"
+                )
     if circ_padding:
         h = wrap_pad_width(h, len(HEAD_CONVS))
     for i, (name, _, strides, relu_after) in enumerate(HEAD_CONVS):
         entry = sq[name]
         acc = qconv(h, entry, strides)
         if i + 1 < len(HEAD_CONVS):
-            h = _requant(acc, entry["requant_m"], relu=relu_after)
+            h = requant(acc, entry["requant_m"], relu=relu_after)
         else:
             # final conv: dequantize (bias already added in acc domain; use
             # the float bias for exactness instead)
@@ -411,6 +513,20 @@ def polar_transform_static_int8(
         out = jnp.einsum("bkpc,kp->bpc", corners.astype(jnp.float32), weight)
     out = jnp.clip(jnp.round(out), -127, 127).astype(jnp.int8)
     return out.reshape(b, grid.out_hw[0], grid.out_hw[1], c)
+
+
+def static_int8_saturation(sq, x, circ_padding: bool = False) -> float:
+    """Fraction of requantized activations clipping at +-127 across every
+    layer of one static-int8 forward — the calibration-coverage guard: scales
+    calibrated on too small a sample silently clip hotter activations on
+    later batches (VERDICT r2 weak #4). Near-zero on the calibration data
+    itself; rising values on held-out data mean the calibration sample did
+    not span the input distribution."""
+    sats: list = []
+    quantized_fov_forward_static(sq, x, circ_padding, saturation_out=sats)
+    hits = sum(int(h) for h, _ in sats)
+    total = sum(t for _, t in sats)
+    return hits / max(total, 1)
 
 
 def preprocess_static_int8(data_cfg, sq_s, sq_o, batch, rng, corner_major="k"):
