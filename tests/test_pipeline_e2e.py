@@ -159,6 +159,18 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
     from witw_tpu.evaluation.index import GalleryIndex
 
     assert str(GalleryIndex.load(cache).meta.get("precision")) == "f32"
+
+    # the cache is fingerprinted against the overhead tower's weights: a
+    # sweep with a retrained checkpoint must NOT serve the old embeddings
+    sha_before = str(GalleryIndex.load(cache).meta.get("params_sha"))
+    assert len(sha_before) == 64
+    state2 = pipeline.init(jax.random.PRNGKey(1))  # "retrained" weights
+    sweep(sat_path, photo_path, csv_path, bounds,
+          edge=225.0, offset=112.5, fov=70, state=state2,
+          index_cache=cache, verbose=False)
+    sha_after = str(GalleryIndex.load(cache).meta.get("params_sha"))
+    assert sha_after != sha_before  # cache was rebuilt, not served stale
+
     assert set(frame.columns) == {"x", "y", "orientation", "dissimilarity", "score"}
     assert len(frame) >= 4
     assert np.all(np.isfinite(frame["score"]))
@@ -173,6 +185,62 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
         want_px = round((bounds[2] - bounds[0]) / 0.3)
         assert abs(out.width - want_px) <= 1
         assert abs(out.height - round((bounds[3] - bounds[1]) / 0.3)) <= 1
+
+
+@pytest.mark.slow
+def test_heatmap_sweep_int8_small_geometry(tmp_path, rng):
+    """int8 sweep wiring at reduced geometry: grid-spanning calibration,
+    recorded saturation guard, weights-fingerprinted int8 cache. Small dims
+    because XLA:CPU lowers int8 convs at reference speed (measured >100x
+    slower than f32 at full geometry); the int8 *numerics* are covered at
+    unit level in tests/test_quantize.py and on real TPU by bench.py."""
+    import dataclasses
+
+    import jax
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.tools.heatmap import SATURATION_WARN_FRACTION, sweep
+    from witw_tpu.train.pipeline import make_pipeline
+
+    cfg = fov_experiment(dataset="witw", fov=90)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, surface_height=32, surface_width_max=128,
+            overhead_size=64,
+        ),
+    )
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    e0, n0 = 447600.0, 5411900.0
+    strip = rng.integers(1, 255, size=(1200, 1200, 3), dtype=np.uint8)
+    gtf = np.array([e0, 0.3, 0, n0, 0, -0.3])
+    sat_path = str(tmp_path / "03_paris.tif")
+    gt.write_geotiff_u8(sat_path, strip, gtf, 32631)
+
+    from PIL import Image
+
+    photo_path = str(tmp_path / "img.jpg")
+    Image.fromarray(
+        rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+    ).save(photo_path)
+
+    csv_path = str(tmp_path / "match.csv")
+    bounds = (e0 + 30, n0 - 250, e0 + 250, n0 - 30)
+    cache8 = str(tmp_path / "tiles_int8.npz")
+    frame8 = sweep(sat_path, photo_path, csv_path, bounds,
+                   edge=225.0, offset=112.5, fov=90, state=state,
+                   index_cache=cache8, int8=True, verbose=False, cfg=cfg,
+                   batch_size=8)  # int8 on XLA:CPU is slow; keep batches tiny
+    meta8 = GalleryIndex.load(cache8).meta
+    assert str(meta8.get("precision")) == "int8"
+    assert len(str(meta8.get("params_sha"))) == 64
+    sat = float(meta8.get("int8_saturation"))
+    assert 0.0 <= sat < SATURATION_WARN_FRACTION
+    assert np.all(np.isfinite(frame8["score"]))
+    assert len(frame8) >= 4
 
 
 @pytest.mark.slow
