@@ -154,6 +154,38 @@ def test_convert_wrapped_reference_keys():
     assert converted["conv_27"]["kernel"].shape == (3, 3, 64, 16)
 
 
+def test_convert_torch_cli_roundtrip(tmp_path):
+    """The offline converter CLI (.pth -> .npz with '/'-joined keys) preserves
+    every leaf exactly through save + load + unflatten."""
+    torch = pytest.importorskip("torch")
+    from witw_tpu.models.backbones.vgg16 import VGG16_CONVS
+    from witw_tpu.models.convert_torch import (
+        convert_fov_dsm_state_dict,
+        main as convert_main,
+        unflatten,
+    )
+
+    gen = torch.Generator().manual_seed(0)
+    state = {}
+    in_ch = 3
+    for idx, out_ch in VGG16_CONVS:
+        state[f"features.{idx}.weight"] = torch.randn(out_ch, in_ch, 3, 3, generator=gen)
+        state[f"features.{idx}.bias"] = torch.randn(out_ch, generator=gen)
+        in_ch = out_ch
+    src = tmp_path / "vgg.pth"
+    dst = tmp_path / "vgg.npz"
+    torch.save(state, str(src))
+    convert_main([str(src), str(dst)])
+
+    loaded = unflatten(dict(np.load(str(dst))))
+    want = convert_fov_dsm_state_dict(state)
+    for torch_idx, _ in VGG16_CONVS:
+        got = loaded["vgg"][f"conv_{torch_idx}"]
+        ref = want["vgg"][f"conv_{torch_idx}"]
+        np.testing.assert_array_equal(got["kernel"], ref["kernel"])
+        np.testing.assert_array_equal(got["bias"], np.asarray(ref["bias"]))
+
+
 def test_convert_baseline_state_dict():
     torch = pytest.importorskip("torch")
     from witw_tpu.models.convert_torch import convert_baseline_state_dict

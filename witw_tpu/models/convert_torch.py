@@ -153,3 +153,58 @@ def load_torch_file(path: str) -> Mapping[str, Any]:
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     return obj
+
+
+def _flatten(tree: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten(flat: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Inverse of the converter CLI's npz layout ('a/b/c' keys -> nested dict)."""
+    out: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(v)
+    return out
+
+
+def main(argv=None) -> None:
+    """Offline converter CLI: ``python -m witw_tpu.models.convert_torch in.pth out.npz``.
+
+    Converts torchvision VGG16 / reference FOV-DSM tower checkpoints
+    (``--family fov``, the default) or reference baseline tower checkpoints
+    (``--family baseline``) into an npz of Flax params with '/'-joined keys
+    (load with np.load + :func:`unflatten`). Replaces the reference's runtime
+    torch.hub download (model/cvig_fov.py:256) with a one-time offline step.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="torch .pth -> Flax params .npz")
+    p.add_argument("src", help="torch state-dict file (.pth)")
+    p.add_argument("dst", help="output .npz")
+    p.add_argument("--family", choices=["fov", "baseline"], default="fov")
+    args = p.parse_args(argv)
+
+    sd = load_torch_file(args.src)
+    if args.family == "fov":
+        tree: Dict[str, Any] = convert_fov_dsm_state_dict(sd)
+    else:
+        params, batch_stats = convert_baseline_state_dict(sd)
+        tree = {"params": params, "batch_stats": batch_stats}
+    flat = _flatten(tree)
+    np.savez(args.dst, **flat)
+    print(f"wrote {args.dst}: {len(flat)} arrays")
+
+
+if __name__ == "__main__":
+    main()
