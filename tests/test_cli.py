@@ -8,6 +8,27 @@ import pytest
 from witw_tpu.data import write_synthetic_dataset
 
 
+def test_cli_overrides_plumb_through():
+    """Flag -> config plumbing for the non-reference extras (--shard-gallery,
+    --fast-eval, --batch-size), without running anything."""
+    from witw_tpu.cli.common import apply_overrides, base_parser
+    from witw_tpu.configs import fov_experiment
+
+    parser = base_parser(with_fov=True)
+    args = parser.parse_args(
+        ["--fov", "90", "--batch-size", "16", "--shard-gallery", "--fast-eval"]
+    )
+    cfg = apply_overrides(fov_experiment(dataset="cvusa", fov=90), args)
+    assert cfg.train.batch_size == 16
+    assert cfg.eval.shard_gallery is True
+    assert cfg.eval.fast_matmul is True
+
+    plain = parser.parse_args(["--fov", "90"])
+    cfg2 = apply_overrides(fov_experiment(dataset="cvusa", fov=90), plain)
+    assert cfg2.eval.shard_gallery is False
+    assert cfg2.eval.fast_matmul is False  # exact parity path is the default
+
+
 @pytest.mark.slow
 def test_cvig_fov_cli_train_and_test(tmp_path, monkeypatch):
     """python -m witw_tpu.cli.cvig_fov --mode train/test with CSV overrides

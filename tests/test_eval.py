@@ -42,6 +42,56 @@ def test_fov_evaluator_matches_bruteforce(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fov_evaluator_fast_matmul_rank_agreement(rng):
+    """The bf16 fast-matmul sweep (opt-in approximation; the exact complex
+    einsum stays the parity default) reproduces exact ranks on
+    planted-structure data — same acceptance contract as the int8 serving
+    path. Margins here are far above bf16 rounding; only near-exact ties
+    could flip, which planted structure avoids."""
+    o, s = _random_embeds(rng, 64, h=4, w=16, sw=10, c=8)
+    want = FovGalleryEvaluator(query_block=16, gallery_chunk=16).ranks(o, s)
+    got = FovGalleryEvaluator(
+        query_block=16, gallery_chunk=16, fast_matmul=True
+    ).ranks(o, s)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_index_fast_matmul_agreement(rng):
+    """GalleryIndex's three retrieval forms under fast=True (bf16 frequency
+    product) preserve what the approximation contract promises on
+    planted-structure data: the PLANTED top-1 identity (clear margin), and
+    distances within bf16 rounding everywhere. Tail-of-top-k identities among
+    noise items are near-ties and may legitimately reorder — same contract as
+    the evaluator's rank-agreement test and the int8 serving path."""
+    from witw_tpu.evaluation import GalleryIndex
+
+    o, s = _random_embeds(rng, 48, h=2, w=16, sw=10, c=4)
+    idx = GalleryIndex(o)
+    true_top1 = np.arange(48)
+
+    i_e, d_e, _ = idx.search(s, k=3, gallery_chunk=16)
+    i_f, d_f, _ = idx.search(s, k=3, gallery_chunk=16, fast=True)
+    np.testing.assert_array_equal(i_e[:, 0], true_top1)
+    np.testing.assert_array_equal(i_f[:, 0], true_top1)
+    # both are ascending-sorted; near-tie membership swaps keep them close
+    np.testing.assert_allclose(d_f, d_e, atol=8e-2)
+
+    de, oe = idx.score_all(s, gallery_chunk=16)
+    df, of = idx.score_all(s, gallery_chunk=16, fast=True)
+    np.testing.assert_allclose(df, de, atol=8e-2)
+    # orientation argmax of the PLANTED pair is margin-protected; noise
+    # pairs' argmax can flip between near-tie shifts
+    np.testing.assert_array_equal(
+        of[true_top1, true_top1], oe[true_top1, true_top1]
+    )
+
+    ia_e, da_e, _ = idx.search_approx(s, k=3, candidates=12)
+    ia_f, da_f, _ = idx.search_approx(s, k=3, candidates=12, fast=True)
+    np.testing.assert_array_equal(ia_e[:, 0], true_top1)
+    np.testing.assert_array_equal(ia_f[:, 0], true_top1)
+    np.testing.assert_allclose(da_f, da_e, atol=8e-2)
+
+
 def test_fov_evaluator_asymmetric_gallery(rng):
     """Q != G with explicit true-match indices (VERDICT r2 weak #8): ranks
     against an enlarged gallery match a brute-force loop, in both the plain

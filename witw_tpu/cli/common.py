@@ -132,6 +132,12 @@ def base_parser(with_fov: bool) -> argparse.ArgumentParser:
         help="Retrieval eval keeps the gallery resident, sharded over every "
              "mesh device (100k+-tile mode); default shards the query axis",
     )
+    parser.add_argument(
+        "--fast-eval", action="store_true",
+        help="Rank sweep uses bf16 matmuls (f32 accumulation) — faster, "
+             "approximate (near-tie ranks can flip); default is the exact "
+             "parity path",
+    )
     return parser
 
 
@@ -150,4 +156,6 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
     if getattr(args, "shard_gallery", False):
         cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, shard_gallery=True))
+    if getattr(args, "fast_eval", False):
+        cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, fast_matmul=True))
     return cfg

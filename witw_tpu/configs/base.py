@@ -174,6 +174,10 @@ class EvalConfig:
     # axis — the 100k+-tile scaling mode (SURVEY.md §5.7). Needs a mesh.
     shard_gallery: bool = False
     gallery_chunk: int = 1024
+    # bf16 frequency-product in the rank sweep (opt-in approximation; the
+    # exact HIGHEST-precision complex einsum stays the parity default —
+    # see match/fft_matcher._freq_product and FovGalleryEvaluator).
+    fast_matmul: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,6 +58,7 @@ class FovGalleryEvaluator:
         gallery_chunk: int = 1024,
         use_pallas: bool = False,
         shard_gallery: bool = False,
+        fast_matmul: bool = False,
     ):
         """``use_pallas`` switches the per-chunk kernel to the fused Pallas
         correlation+distance kernel (witw_tpu.ops.pallas.fused_match), which
@@ -72,12 +73,21 @@ class FovGalleryEvaluator:
         stream against the local shards, and the per-shard rank counts meet
         in one psum (SURVEY.md §5.7's ring-attention analogue; replaces the
         reference's per-query loop, cvig_fov.py:544-552, at 100k+ tile
-        scale). Without it the mesh shards the query axis instead."""
+        scale). Without it the mesh shards the query axis instead.
+
+        ``fast_matmul`` computes the frequency-domain correlation product as
+        bf16 stacked-real einsums with f32 accumulation instead of a
+        HIGHEST-precision complex einsum (match/fft_matcher._freq_product) —
+        an opt-in APPROXIMATION (near-threshold ranks / near-tie argmax
+        orientations can flip; rank agreement on planted-structure data is
+        test-gated, mirroring the int8 serving path's contract). The exact
+        default is the parity path."""
         self.mesh = mesh
         self.query_block = query_block
         self.gallery_chunk = gallery_chunk
         self.use_pallas = use_pallas
         self.shard_gallery = shard_gallery
+        self.fast_matmul = fast_matmul
         if shard_gallery:
             assert mesh is not None, "shard_gallery requires a mesh"
 
@@ -132,7 +142,7 @@ class FovGalleryEvaluator:
             fo = fo.reshape(n_chunks, self.gallery_chunk, *fo.shape[1:])
             wsq = wsq.reshape(n_chunks, self.gallery_chunk, w)
             chunk_args = (fo, wsq, gal_valid)
-            block_fn = _make_block_counter(self.mesh)
+            block_fn = _make_block_counter(self.mesh, self.fast_matmul)
 
         # --- query sweep: all blocks in ONE dispatch (lax.map over query
         # blocks, each lax.map-ing over gallery chunks) ---
@@ -206,7 +216,9 @@ class FovGalleryEvaluator:
         dt_all = _pad_to(np.asarray(d_true, np.float32), n_qblocks * qb)
         dt_all = dt_all.reshape(n_qblocks, qb)
 
-        fn = _make_gallery_sharded_counter(mesh, sw, chunk, per_dev_chunks)
+        fn = _make_gallery_sharded_counter(
+            mesh, sw, chunk, per_dev_chunks, self.fast_matmul
+        )
         # Query blocks replicate over the (possibly multi-host) mesh: a plain
         # jnp.asarray would commit them to this process's default device only.
         from witw_tpu.parallel.mesh import replicated_sharding
@@ -248,7 +260,7 @@ def _paired_distance_batched(overhead, surface):
 
 
 def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, s_blocks,
-                            d_true_blocks, w: int):
+                            d_true_blocks, w: int, fast: bool = False):
     """Count gallery items with distance <= d_true for every query.
 
     fo_chunks: complex [C, G, h, wf, c]; wsq_chunks: [C, G, w];
@@ -264,7 +276,7 @@ def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, s_blocks,
             fo, wsq, valid = args
             # Shared FFT matcher kernel (match/fft_matcher.py); orientation =
             # argmax of the *unnormalized* correlation (cvig_fov.py:312-313).
-            d, _ = gallery_vs_queries(fo, wsq, fs, s_norm, w)  # [G, Q]
+            d, _ = gallery_vs_queries(fo, wsq, fs, s_norm, w, fast)  # [G, Q]
             le = (d <= d_true_block[None, :]) & valid[:, None]
             return jnp.sum(le.astype(jnp.int32), axis=0)  # [Q]
 
@@ -274,12 +286,13 @@ def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, s_blocks,
     return jax.lax.map(one_qblock, (s_blocks, d_true_blocks))  # [NB, Q]
 
 
-def _make_block_counter(mesh: Optional[Mesh]):
+def _make_block_counter(mesh: Optional[Mesh], fast: bool = False):
     @jax.jit
     def all_counts(fo_chunks, wsq_chunks, valid_chunks, s_blocks, d_true_blocks):
         w = wsq_chunks.shape[-1]
         return _count_blocks_vs_chunks(
-            fo_chunks, wsq_chunks, valid_chunks, s_blocks, d_true_blocks, w
+            fo_chunks, wsq_chunks, valid_chunks, s_blocks, d_true_blocks, w,
+            fast,
         )
 
     return all_counts
@@ -296,7 +309,7 @@ def _shard_map():
 
 @functools.lru_cache(maxsize=32)
 def _make_gallery_sharded_counter(mesh: Mesh, sw: int, chunk: int,
-                                  per_dev_chunks: int):
+                                  per_dev_chunks: int, fast: bool = False):
     """shard_map sweep with the GALLERY resident per device.
 
     Each device receives its local [n_local, h, w, c] gallery shard, computes
@@ -315,7 +328,7 @@ def _make_gallery_sharded_counter(mesh: Mesh, sw: int, chunk: int,
         wsq = wsq.reshape(per_dev_chunks, chunk, w)
         valid_c = valid_l.reshape(per_dev_chunks, chunk)
         counts = _count_blocks_vs_chunks(
-            fo, wsq, valid_c, s_blocks, d_true_blocks, w
+            fo, wsq, valid_c, s_blocks, d_true_blocks, w, fast
         )
         return jax.lax.psum(counts, axis_name=axes)
 

@@ -27,15 +27,17 @@ from witw_tpu.match.fft_matcher import (
 )
 
 # Module-level jits of the shared FFT matcher kernel (match/fft_matcher.py):
-# compiled once per (shape, w), not once per search() call.
-_chunk_distances = partial(jax.jit, static_argnames=("w",))(
-    lambda fo_c, wsq_c, fs, s_norm, *, w: gallery_vs_queries(
-        fo_c, wsq_c, fs, s_norm, w
+# compiled once per (shape, w), not once per search() call. ``fast`` selects
+# the bf16 stacked-real frequency product (match/fft_matcher._freq_product) —
+# an opt-in approximation; the exact complex einsum is the default.
+_chunk_distances = partial(jax.jit, static_argnames=("w", "fast"))(
+    lambda fo_c, wsq_c, fs, s_norm, *, w, fast=False: gallery_vs_queries(
+        fo_c, wsq_c, fs, s_norm, w, fast
     )
 )
-_rerank_distances = partial(jax.jit, static_argnames=("w",))(
-    lambda fo, wsq, fs, s_norm, *, w: candidates_vs_queries(
-        fo, wsq, fs, s_norm, w
+_rerank_distances = partial(jax.jit, static_argnames=("w", "fast"))(
+    lambda fo, wsq, fs, s_norm, *, w, fast=False: candidates_vs_queries(
+        fo, wsq, fs, s_norm, w, fast
     )
 )
 
@@ -81,12 +83,15 @@ class GalleryIndex:
         return self._fo, self._wsq[sw]
 
     def score_all(
-        self, surface_embeds: np.ndarray, gallery_chunk: int = 2048
+        self, surface_embeds: np.ndarray, gallery_chunk: int = 2048,
+        fast: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Distances + orientations of EVERY gallery item against every query,
         computed chunkwise in bounded device memory (the heatmap sweep needs
         all tile scores, not top-k; reference heatmap.py:171-177 does this as
         one gallery-sized correlation). Returns ([N, Q] float32, [N, Q] int32).
+        ``fast``: bf16 frequency product (opt-in approximation; near-tie
+        scores can reorder — rank agreement is test-gated on planted data).
         """
         n = len(self.embeds)
         q = surface_embeds.shape[0]
@@ -109,7 +114,7 @@ class GalleryIndex:
             gal_c = jnp.asarray(gal_c)
             fo_c = jnp.fft.rfft(gal_c, axis=2)
             wsq_c = window_sq_norms(gal_c, sw)
-            d, orient = _chunk_distances(fo_c, wsq_c, fs, s_norm, w=w)
+            d, orient = _chunk_distances(fo_c, wsq_c, fs, s_norm, w=w, fast=fast)
             out_d[start:stop] = np.asarray(d)[:real]
             out_o[start:stop] = np.asarray(orient)[:real]
         return out_d, out_o
@@ -158,6 +163,7 @@ class GalleryIndex:
         k: int = 10,
         candidates: int = 256,
         query_block: int = 16,
+        fast: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Two-stage top-k: a pooled-cosine prefilter picks ``candidates``
         gallery items per query (a [Q, hc] x [N*S, hc] GEMM + max over the S
@@ -200,7 +206,7 @@ class GalleryIndex:
                 gal.reshape((q1 - q0) * m, *gal.shape[2:]), sw
             ).reshape(q1 - q0, m, -1)
             d, orient = _rerank_distances(
-                fo, wsq, fs_all[q0:q1], s_norm_all[q0:q1], w=w
+                fo, wsq, fs_all[q0:q1], s_norm_all[q0:q1], w=w, fast=fast
             )
             d = np.asarray(d)
             orient = np.asarray(orient)
@@ -218,12 +224,14 @@ class GalleryIndex:
         surface_embeds: np.ndarray,
         k: int = 10,
         gallery_chunk: int = 2048,
+        fast: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Top-k most similar gallery items per query.
 
         surface_embeds: [Q, h, sw, c]. Returns (indices [Q, k],
         distances [Q, k], orientations [Q, k]) sorted by ascending chord
         distance. Blockwise over gallery chunks; top-k merged on host.
+        ``fast``: bf16 frequency product (opt-in approximation).
         """
         n = len(self.embeds)
         q = surface_embeds.shape[0]
@@ -245,7 +253,7 @@ class GalleryIndex:
                 pad = gallery_chunk - real
                 fo_c = jnp.pad(fo_c, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 wsq_c = jnp.pad(wsq_c, ((0, pad), (0, 0)))
-            d, orient = _chunk_distances(fo_c, wsq_c, fs, s_norm, w=w)
+            d, orient = _chunk_distances(fo_c, wsq_c, fs, s_norm, w=w, fast=fast)
             d = np.asarray(d).T[:, :real]  # [Q, G_real]; drop pad entries
             orient = np.asarray(orient).T[:, :real]
             cand_d = np.concatenate([best_d, d], axis=1)

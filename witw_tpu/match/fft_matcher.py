@@ -53,26 +53,60 @@ def chord_scores(
     return 2.0 * (1.0 - cos), orient
 
 
+def _freq_product(fo: jax.Array, fs: jax.Array, sub: str, fast: bool) -> jax.Array:
+    """The correlation's frequency-domain product ``einsum(sub, fo, conj(fs))``
+    for complex operands, contracted over (h, c) with f as a batch axis.
+
+    ``fast`` computes it as TWO stacked-real bf16 einsums on the MXU with f32
+    accumulation instead of one HIGHEST-precision complex einsum:
+    Re = [Re fo; Im fo].[Re fs; Im fs], Im = [Im fo; -Re fo].[Re fs; Im fs]
+    (the conj folds into the signs). ~2x arithmetic rate at bf16-rounded
+    operands — an approximation: near-threshold ranks and near-tie argmax
+    orientations can flip (rank agreement on planted-structure data is
+    test-gated, like the int8 serving path)."""
+    if not fast:
+        return jnp.einsum(
+            sub, fo, jnp.conj(fs), precision=jax.lax.Precision.HIGHEST
+        )
+    c_ax = fo.ndim - 1  # the trailing contraction axis (c)
+    fo_re, fo_im = jnp.real(fo), jnp.imag(fo)
+    fs_cat = jnp.concatenate(
+        [jnp.real(fs), jnp.imag(fs)], axis=fs.ndim - 1
+    ).astype(jnp.bfloat16)
+    re = jnp.einsum(
+        sub,
+        jnp.concatenate([fo_re, fo_im], axis=c_ax).astype(jnp.bfloat16),
+        fs_cat,
+        preferred_element_type=jnp.float32,
+    )
+    im = jnp.einsum(
+        sub,
+        jnp.concatenate([fo_im, -fo_re], axis=c_ax).astype(jnp.bfloat16),
+        fs_cat,
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.complex(re, im)
+
+
 def gallery_vs_queries(
-    fo: jax.Array, wsq: jax.Array, fs: jax.Array, s_norm: jax.Array, w: int
+    fo: jax.Array, wsq: jax.Array, fs: jax.Array, s_norm: jax.Array, w: int,
+    fast: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """All-pairs form: gallery FFTs [G, h, wf, c] x query FFTs [Q, h, wf, c]
-    -> (distances [G, Q], orientations [G, Q]). wsq: [G, w], s_norm: [Q]."""
-    prod = jnp.einsum(
-        "ghfc,qhfc->gqf", fo, jnp.conj(fs), precision=jax.lax.Precision.HIGHEST
-    )
+    -> (distances [G, Q], orientations [G, Q]). wsq: [G, w], s_norm: [Q].
+    ``fast``: bf16 frequency product (see _freq_product)."""
+    prod = _freq_product(fo, fs, "ghfc,qhfc->gqf", fast)
     corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [G, Q, w]
     return chord_scores(corr, wsq[:, None, :], s_norm[None, :])
 
 
 def candidates_vs_queries(
-    fo: jax.Array, wsq: jax.Array, fs: jax.Array, s_norm: jax.Array, w: int
+    fo: jax.Array, wsq: jax.Array, fs: jax.Array, s_norm: jax.Array, w: int,
+    fast: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-query candidate form: each query q against ITS OWN M candidates.
     fo: [Q, M, h, wf, c], wsq: [Q, M, w], fs: [Q, h, wf, c], s_norm: [Q]
     -> (distances [Q, M], orientations [Q, M])."""
-    prod = jnp.einsum(
-        "qmhfc,qhfc->qmf", fo, jnp.conj(fs), precision=jax.lax.Precision.HIGHEST
-    )
+    prod = _freq_product(fo, fs, "qmhfc,qhfc->qmf", fast)
     corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [Q, M, w]
     return chord_scores(corr, wsq, s_norm[:, None])

@@ -83,6 +83,7 @@ def sweep(
     state=None,
     index_cache: Optional[str] = None,
     int8: bool = False,
+    fast: bool = False,
     verbose: bool = True,
     cfg=None,
 ) -> pd.DataFrame:
@@ -253,7 +254,8 @@ def sweep(
     # --- one-query distances over the whole tile gallery, chunkwise in
     # bounded device memory (GalleryIndex.score_all; replaces the reference's
     # single gallery-sized correlation, heatmap.py:171-177) ---
-    distances, orientations = index.score_all(s_emb, gallery_chunk=2048)
+    distances, orientations = index.score_all(s_emb, gallery_chunk=2048,
+                                              fast=fast)
     distances = distances[:, 0]
     orientations = orientations[:, 0]
     out_width = index.embeds.shape[2]
@@ -307,6 +309,9 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="embed with the static-int8 towers (faster serving; "
                              "rank agreement with f32 test-gated)")
+    parser.add_argument("--fast-eval", action="store_true",
+                        help="bf16 frequency product in the tile scoring sweep "
+                             "(opt-in approximation; exact is the default)")
     args = parser.parse_args(argv)
     from witw_tpu.tools.cities import CITIES
 
@@ -314,7 +319,7 @@ def main(argv=None):
     sat_path = os.path.join(args.satdir, strip_filename(name))
     sweep(sat_path, args.photopath, args.csvpath, args.bounds,
           args.edge, args.offset, args.fov, checkpoint_dir=args.weights,
-          index_cache=args.index_cache, int8=args.int8)
+          index_cache=args.index_cache, int8=args.int8, fast=args.fast_eval)
     if args.image:
         layer(sat_path, args.bounds, args.layerpath)
 

@@ -35,7 +35,8 @@ from typing import Optional
 class GeolocateService:
     """Embed-query + top-k search against a resident gallery index."""
 
-    def __init__(self, index, cfg, state, int8: bool = False):
+    def __init__(self, index, cfg, state, int8: bool = False,
+                 fast: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -47,6 +48,9 @@ class GeolocateService:
         d = cfg.data
         pipeline = make_pipeline(cfg)
         self._int8 = int8
+        # bf16 frequency product in the search kernels (opt-in approximation;
+        # exact is the default — see match/fft_matcher._freq_product).
+        self._fast = fast
         self._sq = None  # calibrated lazily on the FIRST real query image so
         self._sq_lock = threading.Lock()  # scales match actual traffic, not a probe
 
@@ -95,10 +99,11 @@ class GeolocateService:
         k = max(1, min(int(k), len(self.index)))
         if candidates:
             idx, dist, orient = self.index.search_approx(
-                s_emb, k=k, candidates=max(int(candidates), k)
+                s_emb, k=k, candidates=max(int(candidates), k),
+                fast=self._fast,
             )
         else:
-            idx, dist, orient = self.index.search(s_emb, k=k)
+            idx, dist, orient = self.index.search(s_emb, k=k, fast=self._fast)
         w = self.index.embeds.shape[2]
         xs = self.index.meta.get("x")
         ys = self.index.meta.get("y")
@@ -205,6 +210,9 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--fast-eval", action="store_true",
+                        help="bf16 frequency product in the search kernels "
+                             "(opt-in approximation; exact is the default)")
     args = parser.parse_args(argv)
 
     import os
@@ -216,7 +224,8 @@ def main(argv=None):
     )
     state = ckpt.restore("best", pipeline.init(jax.random.PRNGKey(0)))
     index = GalleryIndex.load(args.index)
-    service = GeolocateService(index, cfg, state, int8=args.int8)
+    service = GeolocateService(index, cfg, state, int8=args.int8,
+                               fast=args.fast_eval)
     server = serve(service, args.port, args.host)
     print(f"serving {len(index)} tiles on http://{args.host}:{args.port}")
     server.serve_forever()

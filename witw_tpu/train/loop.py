@@ -360,6 +360,7 @@ def test(
             query_block=cfg.eval.query_block,
             gallery_chunk=cfg.eval.gallery_chunk,
             shard_gallery=cfg.eval.shard_gallery and mesh is not None,
+            fast_matmul=cfg.eval.fast_matmul,
         )
         ranks = evaluator.ranks(o_emb, s_emb)
     else:
