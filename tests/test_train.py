@@ -169,6 +169,78 @@ def test_baseline_train_smoke(tmp_path):
     assert int(state.step) == 2
 
 
+def test_baseline_padded_rows_do_not_shift_batchnorm(tmp_path):
+    """Zero-padded straggler rows must not contaminate train-mode BatchNorm:
+    the valid mask is threaded into the encoder's BN stats, so a padded
+    train_step produces EXACTLY the unpadded batch's loss, running
+    batch_stats, and parameter updates (not just a masked loss)."""
+    import jax.numpy as jnp
+
+    ds = DatasetConfig(
+        name="witw", train_csv="", test_csv="", panorama=False, header=0,
+        path_columns=(15, 16), path_names=("surface", "overhead"),
+    )
+    cfg = ExperimentConfig(
+        data=DataConfig(dataset=ds),
+        model=BaselineModelConfig(compute_dtype="float32"),
+        train=TrainConfig(batch_size=3, optim=OptimConfig(learning_rate=1e-3),
+                          checkpoint_dir=str(tmp_path / "ckpt")),
+    )
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0), surface_hw=(384, 384),
+                          overhead_hw=(384, 384))
+
+    rng = np.random.default_rng(3)
+    surface = rng.uniform(0, 255, (3, 384, 384, 3)).astype(np.float32)
+    overhead = rng.uniform(0, 255, (3, 384, 384, 3)).astype(np.float32)
+    unpadded = {"surface": jnp.asarray(surface), "overhead": jnp.asarray(overhead)}
+    padded = {
+        "surface": jnp.asarray(np.pad(surface, [(0, 1), (0, 0), (0, 0), (0, 0)])),
+        "overhead": jnp.asarray(np.pad(overhead, [(0, 1), (0, 0), (0, 0), (0, 0)])),
+        "valid": jnp.asarray(np.array([True, True, True, False])),
+    }
+
+    step_rng = jax.random.PRNGKey(11)
+    # train_step donates the state buffers — give each call its own copy.
+    state_copy = jax.tree.map(jnp.copy, state)
+    s_u, m_u = pipeline.train_step(state_copy, unpadded, step_rng)
+    s_p, m_p = pipeline.train_step(state, padded, step_rng)
+
+    # threefry per-row randomness is prefix-stable, so the real rows see the
+    # same synced-rotation angles in both shapes. Tolerances: masked-BN sums
+    # reduce over 4 rows (one zero) vs 3, so f32 rounding cascades through 7
+    # BN layers to ~1e-5 rel (measured); WITHOUT the mask a quarter of the
+    # batch is constant input, shifting the statistics (and loss) by orders
+    # of magnitude more.
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_u["loss"]),
+                               rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-3, atol=1e-6),
+        s_p.batch_stats, s_u.batch_stats,
+    )
+
+    # Gradients (not post-Adam params: at step 1 Adam moves EVERY element
+    # +-lr via m/sqrt(v) ~ sign(g), so ~zero-gradient elements flip sign on
+    # f32 noise and params can't discriminate). Masked-BN grads must match
+    # the unpadded batch's to reduction-order rounding; an unmasked BN shift
+    # perturbs every gradient at O(%) scale.
+    grad_fn = jax.jit(
+        lambda p, bs, b: jax.grad(
+            lambda pp: pipeline._forward_loss(pp, bs, b, step_rng, train=True)[0]
+        )(p)
+    )
+    g_u = grad_fn(s_u.params, s_u.batch_stats, unpadded)  # any shared weights
+    g_p = grad_fn(s_u.params, s_u.batch_stats, padded)
+
+    def _grads_close(a, b):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        assert np.linalg.norm(a - b) <= 1e-3 * np.linalg.norm(b) + 1e-9
+
+    jax.tree.map(_grads_close, g_p, g_u)
+
+
 @pytest.mark.slow
 def test_baseline_orientation_maps_smoke(tmp_path):
     """Baseline pipeline with the live orientation-map channels enabled."""

@@ -90,6 +90,11 @@ class FovGalleryEvaluator:
         self.fast_matmul = fast_matmul
         if shard_gallery:
             assert mesh is not None, "shard_gallery requires a mesh"
+        if use_pallas and fast_matmul:
+            raise ValueError(
+                "fast_matmul applies to the FFT sweep only; the Pallas "
+                "fused-match kernel has no bf16 frequency-product variant"
+            )
 
     def ranks(
         self,
@@ -111,14 +116,13 @@ class FovGalleryEvaluator:
             assert overhead_embeds.shape[0] == n, (
                 "asymmetric query/gallery requires explicit true_match indices"
             )
-            true_match = np.arange(n)
         sw = surface_embeds.shape[2]
         w = overhead_embeds.shape[2]
 
         # --- true-match distances, one paired O(N) pass ---
         d_true = np.asarray(
             _paired_distance_batched(
-                jnp.asarray(np.asarray(overhead_embeds)[np.asarray(true_match)]),
+                jnp.asarray(_true_match_rows(overhead_embeds, true_match)),
                 jnp.asarray(surface_embeds),
             )
         )
@@ -185,12 +189,11 @@ class FovGalleryEvaluator:
             assert n_gal == n, (
                 "asymmetric query/gallery requires explicit true_match indices"
             )
-            true_match = np.arange(n)
         sw = surface_embeds.shape[2]
 
         d_true = np.asarray(
             _paired_distance_batched(
-                jnp.asarray(np.asarray(overhead_embeds)[np.asarray(true_match)]),
+                jnp.asarray(_true_match_rows(overhead_embeds, true_match)),
                 jnp.asarray(surface_embeds),
             )
         )
@@ -241,16 +244,22 @@ class FovGalleryEvaluator:
         )
 
 
+def _true_match_rows(overhead_embeds, true_match) -> np.ndarray:
+    """Gallery rows of each query's true match. The symmetric default
+    (true_match=None, identity) passes the gallery through WITHOUT the fancy
+    -indexed copy — at 100k+ tiles that copy is gigabytes of host memory."""
+    if true_match is None:
+        return np.asarray(overhead_embeds)
+    return np.asarray(overhead_embeds)[np.asarray(true_match)]
+
+
 def _fetch(x) -> np.ndarray:
     """Host fetch that also works for arrays whose shards live on OTHER
-    processes' devices (multi-host meshes): np.asarray alone raises there;
-    process_allgather fully replicates a non-addressable global array first
-    (preserving its global shape). Exercised by tests/test_multiprocess.py."""
-    if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        from jax.experimental import multihost_utils
+    processes' devices (multi-host meshes). One shared implementation
+    (train/checkpoint._to_host); exercised by tests/test_multiprocess.py."""
+    from witw_tpu.train.checkpoint import _to_host
 
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-    return np.asarray(x)
+    return _to_host(x)
 
 
 @functools.partial(jax.jit)

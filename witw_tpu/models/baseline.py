@@ -31,10 +31,21 @@ class BaselineEncoder(nn.Module):
     cfg: BaselineModelConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        valid: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """``valid`` (bool [B], optional): marks real rows when the batch was
+        zero-padded to a sharding multiple (train/loop.device_prefetch).
+        Train-mode BatchNorm statistics are computed over valid rows only, so
+        padded rows neither shift real rows' activations nor leak into the
+        running batch_stats."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         p = cfg.gem_power
+        bn_mask = None if valid is None else valid[:, None, None, None]
 
         x = jnp.asarray(x, jnp.float32) / 255.0
         x = -1.0 + 2.0 * x
@@ -61,7 +72,7 @@ class BaselineEncoder(nn.Module):
                 scale_init=_normal_init(cfg.init_std, mean=1.0),
                 bias_init=_normal_init(cfg.init_std),
                 name=f"bn{i}",
-            )(x)
+            )(x, mask=bn_mask)
             if i >= 5:
                 # Generalized-mean pooling of ReLU features over H, W
                 # (reference cvig_baseline.py:272-277).

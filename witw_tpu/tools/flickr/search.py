@@ -161,9 +161,14 @@ def read_metadata(city_dir: str) -> List[Dict]:
     tools/download/flickr/src/metadata.py:70-137 (read_metadata)."""
     try:
         with open(os.path.join(city_dir, "metadata.json")) as f:
-            return json.load(f)
+            records = json.load(f)
     except (OSError, json.JSONDecodeError, ValueError):
         return []
+    # Valid JSON of the wrong shape (a hand-edited dict, a list of strings)
+    # must degrade the same way as a corrupt file, not crash the resume.
+    if not isinstance(records, list):
+        return []
+    return [r for r in records if isinstance(r, dict)]
 
 
 def get_known_urls(city_dir: str) -> List[str]:

@@ -197,6 +197,7 @@ def sweep(
             return resample(tile[..., :3], d.overhead_size, d.overhead_size)
 
         sat_frac = None
+        calib_tiles = {}
         if int8:
             from witw_tpu.models.quantize import (
                 quantize_tower_static,
@@ -208,6 +209,9 @@ def sweep(
                 np.linspace(0, n - 1, min(n, batch_size)).astype(int)
             )
             calib = np.stack([read_tile(windows[i]) for i in calib_idx])
+            # reuse in the embed loop — don't re-read + re-resample the
+            # same GeoTIFF windows
+            calib_tiles = dict(zip(calib_idx.tolist(), calib))
             polar_c = _preprocess_overhead(jnp.asarray(calib))
             sq_overhead_box[0] = quantize_tower_static(
                 state.params["overhead"], [np.asarray(polar_c)], True
@@ -219,7 +223,8 @@ def sweep(
         for start in range(0, n, batch_size):
             stop = min(start + batch_size, n)
             for j, window in enumerate(windows[start:stop]):
-                buf[j] = read_tile(window)
+                tile = calib_tiles.pop(start + j, None)
+                buf[j] = read_tile(window) if tile is None else tile
             buf[stop - start:] = 0.0
             if int8 and sat_frac is None:
                 # calibration-coverage guard: clip fraction on a real (non-

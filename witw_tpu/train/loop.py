@@ -39,9 +39,10 @@ def device_prefetch(loader: Iterable, mesh=None, depth: int = 2):
     sharded over ``mesh`` if given, and the number of real rows. A straggler
     batch not divisible by the data axis is zero-PADDED to the next multiple
     and sharded like every other batch (no unsharded step, no odd-size
-    compile); the bool 'valid' mask marks real rows and the jitted losses
-    restrict pair sums to valid x valid — exactly the unpadded batch's loss
-    (match/losses.py)."""
+    compile); the bool 'valid' mask marks real rows, the jitted losses
+    restrict pair sums to valid x valid (match/losses.py), and train-mode
+    BatchNorm statistics exclude padded rows (models/baseline.py) — the
+    unpadded batch's loss up to f32 reduction-order rounding."""
     import collections
 
     import jax.numpy as jnp

@@ -256,13 +256,16 @@ class BaselinePipeline:
     def _forward_loss(self, params, batch_stats, batch, rng, train: bool):
         surface, overhead = self._preprocess(batch, rng, train)
         mutable = ["batch_stats"] if train else []
+        # Padded straggler rows (device_prefetch) must not contaminate
+        # train-mode BatchNorm statistics — mask them out of the stats.
+        valid = batch.get("valid")
         out_s = self.surface_model.apply(
             {"params": params["surface"], "batch_stats": batch_stats["surface"]},
-            surface, train=train, mutable=mutable,
+            surface, train=train, valid=valid, mutable=mutable,
         )
         out_o = self.overhead_model.apply(
             {"params": params["overhead"], "batch_stats": batch_stats["overhead"]},
-            overhead, train=train, mutable=mutable,
+            overhead, train=train, valid=valid, mutable=mutable,
         )
         if train:
             s_emb, vars_s = out_s
