@@ -435,3 +435,74 @@ def test_serving_daemon_int8_lazy_calibration(tmp_path, rng):
     r2 = service.geolocate(buf.getvalue(), k=3)
     assert [x["tile"] for x in r1] == [x["tile"] for x in r2]
     assert r1[0]["distance"] == r2[0]["distance"]
+
+
+@pytest.mark.slow
+def test_serving_request_microbatching(rng):
+    """max_batch >= 2: concurrent requests are grouped into shared device
+    dispatches (fewer dispatches than requests), every caller gets its own
+    k-sized answer, and results match the unbatched service exactly (same
+    embed math — batching only changes grouping). Exact and approximate
+    requests in one group keep their separate contracts."""
+    import io
+    import threading
+
+    import jax
+    from PIL import Image
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.tools.serve import GeolocateService
+
+    cfg = fov_experiment(dataset="witw", fov=70)
+    from witw_tpu.train.pipeline import make_pipeline
+
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+    index = GalleryIndex(
+        rng.standard_normal((12, 4, 64, 16)).astype(np.float32)
+    )
+    plain = GeolocateService(index, cfg, state)
+    batched = GeolocateService(index, cfg, state, max_batch=4,
+                               batch_window_ms=2000.0)
+    try:
+        photos = []
+        for i in range(4):
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 255, (80, 160, 3), dtype=np.uint8)
+            ).save(buf, format="PNG")  # lossless: identical decode both paths
+            photos.append(buf.getvalue())
+
+        # mixed ks + one approximate request in the same burst
+        kwargs = [dict(k=3), dict(k=1), dict(k=5), dict(k=2, candidates=8)]
+        want = [plain.geolocate(p, **kw) for p, kw in zip(photos, kwargs)]
+
+        got = [None] * 4
+
+        def call(i):
+            got[i] = batched.geolocate(photos[i], **kwargs[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        assert batched.stats["requests"] == 4
+        # the 2 s window must have grouped the burst (1 dispatch, 2 if a
+        # straggler thread missed the first group)
+        assert batched.stats["dispatches"] <= 2, batched.stats
+        for w, g, kw in zip(want, got, kwargs):
+            assert len(g) == len(w) == kw["k"]
+            assert [x["tile"] for x in g] == [x["tile"] for x in w]
+            # batch-4 vs batch-1 conv lowering reorders f32 reductions:
+            # ~2e-5 relative embed deltas are expected, ranks are stable
+            np.testing.assert_allclose(
+                [x["distance"] for x in g], [x["distance"] for x in w],
+                rtol=1e-4, atol=1e-5,
+            )
+    finally:
+        batched.close()
+        assert batched._worker is None  # close() is clean + idempotent
+        batched.close()

@@ -16,10 +16,18 @@ at device speed:
     GET  /healthz            -> {"status": "ok", "gallery_size": N, ...}
 
 Run: ``python -m witw_tpu.tools.serve --index tiles.npz --weights ./weights
---tag fov_70_witw --fov 70 [--int8] [--port 8000]``
+--tag fov_70_witw --fov 70 [--int8] [--max-batch 8] [--port 8000]``
 
 The retrieval kernel is the hoisted chunked top-k of GalleryIndex.search —
 one compiled shape regardless of gallery size.
+
+``--max-batch N`` enables request micro-batching: concurrent requests that
+arrive within a short window are embedded and searched as ONE device
+dispatch. Each dispatch costs fixed overhead (25-50 ms through a remote
+tunnel) and a batch-1 embed leaves the MXU nearly idle, so batching raises
+concurrent throughput close to the serving bench's batched rate. Image
+decode/resize stays on the request threads (parallel host work); batches are
+padded to power-of-two sizes so at most log2(N)+1 graph shapes ever compile.
 """
 
 from __future__ import annotations
@@ -27,16 +35,40 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 
+class _Pending:
+    """One queued request awaiting a batched dispatch."""
+
+    __slots__ = ("img", "k", "candidates", "done", "result", "error")
+
+    def __init__(self, img, k: int, candidates: int):
+        self.img = img
+        self.k = k
+        self.candidates = candidates
+        self.done = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
 class GeolocateService:
-    """Embed-query + top-k search against a resident gallery index."""
+    """Embed-query + top-k search against a resident gallery index.
+
+    ``max_batch`` >= 2 enables micro-batching: a worker thread drains
+    concurrent requests (up to ``max_batch``, waiting at most
+    ``batch_window_ms`` after the first) and runs ONE embed + ONE search per
+    group. Exact and approximate requests are grouped separately so each
+    keeps its contract; within an approximate group the candidate pool is
+    the group max (never smaller than any request asked for)."""
 
     def __init__(self, index, cfg, state, int8: bool = False,
-                 fast: bool = False):
+                 fast: bool = False, max_batch: int = 0,
+                 batch_window_ms: float = 3.0):
         import jax
         import jax.numpy as jnp
 
@@ -69,6 +101,18 @@ class GeolocateService:
         self._normalize = lambda x: normalize_images(x, d.img_mean, d.img_std)
         self._params = state.params
 
+        self.max_batch = int(max_batch)
+        self.stats = {"requests": 0, "dispatches": 0}
+        self._queue: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        if self.max_batch >= 2:
+            self._window = batch_window_ms / 1000.0
+            self._queue = queue.Queue()
+            self._worker = threading.Thread(
+                target=self._batch_loop, daemon=True, name="geolocate-batcher"
+            )
+            self._worker.start()
+
     def _embed(self, params, x):
         if not self._int8:
             return self._embed_f32(params, x)
@@ -83,32 +127,138 @@ class GeolocateService:
                 )
         return self._embed_int8(params, x)
 
-    def geolocate(self, image_bytes: bytes, k: int = 5, candidates: int = 0):
-        import jax.numpy as jnp
+    def _decode(self, image_bytes: bytes):
         import numpy as np
+        from PIL import Image
 
         from witw_tpu.data.loader import resize_host
-
-        from PIL import Image
 
         d = self.cfg.data
         img = np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"),
                          np.float32)
-        img = resize_host(img, d.surface_height, d.surface_width)[None]
-        s_emb = np.asarray(self._embed(self._params, jnp.asarray(img)))
+        return resize_host(img, d.surface_height, d.surface_width)
+
+    def geolocate(self, image_bytes: bytes, k: int = 5, candidates: int = 0):
+        # Decode/resize on the request thread even when batching — host image
+        # work parallelizes across request threads; only device dispatch is
+        # funneled through the batcher.
+        img = self._decode(image_bytes)
         k = max(1, min(int(k), len(self.index)))
-        if candidates:
-            idx, dist, orient = self.index.search_approx(
-                s_emb, k=k, candidates=max(int(candidates), k),
-                fast=self._fast,
-            )
+        candidates = int(candidates)
+        req = _Pending(img, k, candidates)
+        # inline when batching is off or the batcher was close()d —
+        # never enqueue into a queue nobody drains
+        if self._queue is None or self._worker is None:
+            self._run_group([req])
         else:
-            idx, dist, orient = self.index.search(s_emb, k=k, fast=self._fast)
+            self._queue.put(req)
+            req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self) -> None:
+        """Stop the batcher thread (idempotent; no-op without batching).
+        In-flight requests finish; requests racing the shutdown are served
+        inline by their own thread (see geolocate)."""
+        if self._queue is not None and self._worker is not None:
+            worker, self._worker = self._worker, None
+            self._queue.put(None)
+            worker.join(timeout=30)
+            # serve anything that slipped in behind the sentinel
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None:
+                    self._run_group([req])
+
+    def _batch_loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            group = [item]
+            deadline = time.monotonic() + self._window
+            while len(group) < self.max_batch:
+                remain = deadline - time.monotonic()
+                if remain <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remain)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run_group(group)
+                    return
+                group.append(nxt)
+            self._run_group(group)
+
+    def _run_group(self, group) -> None:
+        import jax.numpy as jnp
+        import numpy as np
+
+        try:
+            b = len(group)
+            self.stats["requests"] += b
+            self.stats["dispatches"] += 1
+            imgs = np.stack([r.img for r in group])
+            # pad to a power of two: bounded compile count across batch sizes
+            bucket = 1 << (b - 1).bit_length()
+            if bucket > b:
+                imgs = np.concatenate(
+                    [imgs, np.broadcast_to(imgs[:1], (bucket - b,) + imgs.shape[1:])]
+                )
+            s_emb = np.asarray(self._embed(self._params, jnp.asarray(imgs)))[:b]
+            # exact and approximate requests keep their own contracts
+            for approx in (False, True):
+                rows = [i for i, r in enumerate(group)
+                        if (r.candidates > 0) == approx]
+                if not rows:
+                    continue
+                k_max = max(group[i].k for i in rows)
+                embs = s_emb[rows]
+                # pad the query axis to a power of two as well — the search
+                # kernels compile per Q, and group compositions vary
+                qb = 1 << (len(rows) - 1).bit_length()
+                if qb > len(rows):
+                    embs = np.concatenate(
+                        [embs,
+                         np.broadcast_to(embs[:1], (qb - len(rows),) + embs.shape[1:])]
+                    )
+                if approx:
+                    cand = max(max(group[i].candidates for i in rows), k_max)
+                    # bucket the pool size (rerank compiles per M); a larger
+                    # pool than requested only improves candidate recall
+                    cand = min(1 << (cand - 1).bit_length(), len(self.index))
+                    idx, dist, orient = self.index.search_approx(
+                        embs, k=k_max, candidates=cand, fast=self._fast
+                    )
+                else:
+                    idx, dist, orient = self.index.search(
+                        embs, k=k_max, fast=self._fast
+                    )
+                for out_row, i in enumerate(rows):
+                    r = group[i]
+                    r.result = self._format(
+                        idx[out_row], dist[out_row], orient[out_row], r.k
+                    )
+        except BaseException as err:  # propagate to every waiter
+            for r in group:
+                r.error = err
+        finally:
+            for r in group:
+                r.done.set()
+
+    def _format(self, idx_row, dist_row, orient_row, k: int):
+        import numpy as np
+
         w = self.index.embeds.shape[2]
         xs = self.index.meta.get("x")
         ys = self.index.meta.get("y")
         results = []
-        for i, dd, oo in zip(idx[0], dist[0], orient[0]):
+        for i, dd, oo in zip(idx_row[:k], dist_row[:k], orient_row[:k]):
             results.append(
                 {
                     "x": float(xs[i]) if xs is not None else None,
@@ -141,6 +291,7 @@ def make_handler(service: GeolocateService):
                     "status": "ok",
                     "gallery_size": len(service.index),
                     "int8": service._int8,
+                    "max_batch": service.max_batch,
                 })
             else:
                 self._json(404, {"error": "unknown path"})
@@ -213,6 +364,12 @@ def main(argv=None):
     parser.add_argument("--fast-eval", action="store_true",
                         help="bf16 frequency product in the search kernels "
                              "(opt-in approximation; exact is the default)")
+    parser.add_argument("--max-batch", type=int, default=0,
+                        help=">=2 enables request micro-batching: concurrent "
+                             "requests share one embed+search dispatch")
+    parser.add_argument("--batch-window-ms", type=float, default=3.0,
+                        help="max wait after the first queued request before "
+                             "dispatching a partial batch")
     args = parser.parse_args(argv)
 
     import os
@@ -225,7 +382,8 @@ def main(argv=None):
     state = ckpt.restore("best", pipeline.init(jax.random.PRNGKey(0)))
     index = GalleryIndex.load(args.index)
     service = GeolocateService(index, cfg, state, int8=args.int8,
-                               fast=args.fast_eval)
+                               fast=args.fast_eval, max_batch=args.max_batch,
+                               batch_window_ms=args.batch_window_ms)
     server = serve(service, args.port, args.host)
     print(f"serving {len(index)} tiles on http://{args.host}:{args.port}")
     server.serve_forever()
