@@ -265,3 +265,44 @@ def test_index_search_approx_narrow_fov(rng):
     # full-width queries still take the single-descriptor (S=1) path
     assert idx._pooled(w).shape[1] == 1
     assert idx._pooled(sw).shape[1] == int(np.ceil(w / (sw // 2)))
+
+
+def test_index_search_sharded_matches_single(rng):
+    """Mesh-resident sharded top-k: distances/indices/orientations match the
+    single-device chunked search exactly, the gallery is physically sharded
+    over all 8 mesh devices, and sizes that don't divide the mesh (padding)
+    are handled."""
+    from witw_tpu.evaluation import GalleryIndex
+
+    for n in (40, 37):  # 37: pads both the device split and the chunk split
+        o, s = _random_embeds(rng, n)
+        idx = GalleryIndex(o)
+        ie, de, oe = idx.search(s, k=5, gallery_chunk=16)
+
+        mesh = make_mesh(n_data=8)
+        idx.place_sharded(mesh, gallery_chunk=4, max_k=8)
+        # proof of residency: the gallery axis is split over all 8 devices
+        assert len(idx.last_gallery_sharding.device_set) == 8
+        n_pad = idx._sharded["gal"].shape[0]
+        assert all(
+            sh.data.shape[0] == n_pad // 8
+            for sh in idx._sharded["gal"].addressable_shards
+        )
+        i_s, d_s, o_s = idx.search_sharded(s, k=5)
+        np.testing.assert_allclose(d_s, de, rtol=1e-5, atol=1e-6)
+        # planted structure separates scores, so index order is deterministic
+        np.testing.assert_array_equal(i_s, ie)
+        np.testing.assert_array_equal(o_s, oe)
+
+        # k > max_k must be rejected, not silently truncated
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            idx.search_sharded(s, k=9)
+
+    # lazy placement via mesh= kwarg
+    o, s = _random_embeds(rng, 24)
+    idx2 = GalleryIndex(o)
+    i_l, d_l, _ = idx2.search_sharded(s, k=3, mesh=make_mesh(n_data=8))
+    i_e, d_e, _ = idx2.search(s, k=3)
+    np.testing.assert_allclose(d_l, d_e, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i_l, i_e)

@@ -506,3 +506,46 @@ def test_serving_request_microbatching(rng):
         batched.close()
         assert batched._worker is None  # close() is clean + idempotent
         batched.close()
+
+
+@pytest.mark.slow
+def test_serving_daemon_sharded_gallery(rng):
+    """--shard-gallery serving: the index is resident-sharded across all 8
+    mesh devices, exact queries take the shard_map top-k path, and answers
+    match the single-device service exactly."""
+    import io
+
+    import jax
+    from PIL import Image
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.parallel import make_mesh
+    from witw_tpu.tools.serve import GeolocateService
+    from witw_tpu.train.pipeline import make_pipeline
+
+    cfg = fov_experiment(dataset="witw", fov=70)
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+    embeds = rng.standard_normal((20, 4, 64, 16)).astype(np.float32)
+    index_a = GalleryIndex(embeds)
+    index_b = GalleryIndex(embeds)
+    plain = GeolocateService(index_a, cfg, state)
+    mesh = make_mesh(n_data=8)
+    sharded = GeolocateService(index_b, cfg, state, mesh=mesh)
+    assert sharded._mesh is mesh
+    assert len(index_b.last_gallery_sharding.device_set) == 8
+
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (80, 160, 3), dtype=np.uint8)).save(
+        buf, format="JPEG")
+    r_plain = plain.geolocate(buf.getvalue(), k=4)
+    r_shard = sharded.geolocate(buf.getvalue(), k=4)
+    assert [x["tile"] for x in r_shard] == [x["tile"] for x in r_plain]
+    np.testing.assert_allclose(
+        [x["distance"] for x in r_shard],
+        [x["distance"] for x in r_plain], rtol=1e-5, atol=1e-6,
+    )
+    # approximate requests keep their own (unsharded two-stage) path
+    r_approx = sharded.geolocate(buf.getvalue(), k=4, candidates=20)
+    assert [x["tile"] for x in r_approx] == [x["tile"] for x in r_plain]

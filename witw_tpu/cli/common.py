@@ -71,7 +71,10 @@ def run_train(
     num_epochs: Optional[int] = None,
     profile_dir: Optional[str] = None,
 ):
+    from witw_tpu.utils.platform import honor_platform_env
     from witw_tpu.utils.profiling import trace_profile
+
+    honor_platform_env()
 
     pairs = read_pair_paths(cfg.data.dataset, cfg.data.dataset.train_csv)
     train_pairs, val_pairs = split_train_val(pairs, cfg.train.val_quantity, cfg.train.seed)
@@ -91,6 +94,9 @@ def run_train(
 
 
 def run_test(cfg: ExperimentConfig, tag: str):
+    from witw_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     pairs = read_pair_paths(cfg.data.dataset, cfg.data.dataset.test_csv)
     test_loader = build_loader(
         cfg, pairs, shuffle=False, drop_last=False, batch_size=cfg.eval.batch_size

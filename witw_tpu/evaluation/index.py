@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from functools import partial
+from functools import lru_cache, partial
+from jax.sharding import Mesh, PartitionSpec as P
 
 from witw_tpu.match.distance import window_sq_norms
 from witw_tpu.match.fft_matcher import (
@@ -219,6 +220,120 @@ class GalleryIndex:
             out_o[q0:q1] = orient[rows, sel][rows, order]
         return out_i, out_d, out_o
 
+    # ---- mesh-resident sharded retrieval ----
+
+    def place_sharded(self, mesh: Mesh, gallery_chunk: int = 2048,
+                      max_k: int = 128) -> None:
+        """Shard the gallery RESIDENT across every device of ``mesh`` (same
+        placement as the rank evaluator's gallery-resident sweep,
+        evaluation/gallery.py). Each device holds only its own
+        [n_local, h, w, c] shard; per-shard FFTs/window-norms are computed
+        inside the jit on first search. Serving hosts with multi-chip meshes
+        call this once at index load, then answer queries with
+        :meth:`search_sharded` — gallery capacity scales with mesh size
+        instead of one device's HBM.
+
+        ``max_k`` caps the per-shard top-k width (and therefore the only
+        cross-device traffic, O(n_dev * Q * k))."""
+        from witw_tpu.parallel.mesh import gallery_sharding
+
+        n = len(self.embeds)
+        n_dev = mesh.devices.size
+        n_local = -(-n // n_dev)
+        chunk = min(gallery_chunk, n_local)
+        chunk = max(chunk, min(max_k, n_local))  # per-chunk top-k needs k <= chunk
+        per_dev_chunks = -(-n_local // chunk)
+        n_local = per_dev_chunks * chunk
+        n_pad = n_dev * n_local
+        gal_np = np.asarray(self.embeds, np.float32)
+        if n_pad > n:
+            gal_np = np.pad(gal_np, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
+        valid_np = np.arange(n_pad) < n
+        self._sharded = {
+            "mesh": mesh,
+            "chunk": chunk,
+            "per_dev_chunks": per_dev_chunks,
+            "n_local": n_local,
+            "max_k": max_k,
+            "gal": jax.device_put(gal_np, gallery_sharding(mesh, 4)),
+            "valid": jax.device_put(valid_np, gallery_sharding(mesh, 1)),
+        }
+        # exposed for tests / introspection: proof the gallery is resident
+        # sharded across every mesh device
+        self.last_gallery_sharding = self._sharded["gal"].sharding
+
+    def search_sharded(
+        self,
+        surface_embeds: np.ndarray,
+        k: int = 10,
+        mesh: Optional[Mesh] = None,
+        gallery_chunk: int = 2048,
+        fast: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Top-k with the gallery resident-sharded over a device mesh.
+
+        Same contract as :meth:`search`, but the gallery lives physically
+        sharded across all mesh devices (call :meth:`place_sharded` first, or
+        pass ``mesh`` to place lazily): each device streams the replicated
+        query block against its local shard's chunks and keeps a local top-k;
+        the only cross-device movement is the [n_dev, Q, k_local] candidate
+        lists fetched for the host-side merge. Exact — identical distances to
+        :meth:`search` (equal-distance ties may order differently). Replaces
+        the reference's per-query full-gallery loop (cvig_fov.py:544-552) at
+        multi-chip serving scale."""
+        if getattr(self, "_sharded", None) is None or (
+            mesh is not None and self._sharded["mesh"] is not mesh
+        ):
+            if mesh is None:
+                raise ValueError(
+                    "call place_sharded(mesh) first or pass mesh="
+                )
+            self.place_sharded(mesh, gallery_chunk)
+        st = self._sharded
+        mesh = st["mesh"]
+        n = len(self.embeds)
+        n_dev = mesh.devices.size
+        k = min(k, n)
+        if k > st["max_k"]:
+            raise ValueError(
+                f"k={k} exceeds place_sharded max_k={st['max_k']}; re-place "
+                "the index with a larger max_k"
+            )
+        k_local = min(k, st["n_local"])
+        q = surface_embeds.shape[0]
+        sw = surface_embeds.shape[2]
+
+        from witw_tpu.parallel.mesh import replicated_sharding
+
+        s_arr = jax.device_put(
+            np.asarray(surface_embeds, np.float32), replicated_sharding(mesh)
+        )
+        fn = _make_sharded_topk(
+            mesh, sw, st["chunk"], st["per_dev_chunks"], k_local, fast
+        )
+        d_all, i_all, o_all = fn(st["gal"], st["valid"], s_arr)
+        # [n_dev, Q, k_local] each; shard d of the gathered axis holds device
+        # d's candidates (out_specs concatenate in mesh-device order, matching
+        # the gallery placement's leading-axis order).
+        d_all = _fetch_sharded(d_all)
+        i_all = _fetch_sharded(i_all) + (
+            np.arange(n_dev) * st["n_local"]
+        )[:, None, None]
+        o_all = _fetch_sharded(o_all)
+
+        d_flat = d_all.transpose(1, 0, 2).reshape(q, n_dev * k_local)
+        i_flat = i_all.transpose(1, 0, 2).reshape(q, n_dev * k_local)
+        o_flat = o_all.transpose(1, 0, 2).reshape(q, n_dev * k_local)
+        sel = np.argpartition(d_flat, k - 1, axis=1)[:, :k]
+        rows = np.arange(q)[:, None]
+        dd = d_flat[rows, sel]
+        order = np.argsort(dd, axis=1)
+        return (
+            i_flat[rows, sel][rows, order].astype(np.int64),
+            dd[rows, order],
+            o_flat[rows, sel][rows, order].astype(np.int32),
+        )
+
     def search(
         self,
         surface_embeds: np.ndarray,
@@ -270,3 +385,66 @@ class GalleryIndex:
         order = np.argsort(best_d, axis=1)
         rows = np.arange(q)[:, None]
         return best_i[rows, order], best_d[rows, order], best_o[rows, order]
+
+
+def _fetch_sharded(x) -> np.ndarray:
+    """Host fetch that also works when shards live on other processes'
+    devices (multi-host serving meshes)."""
+    from witw_tpu.train.checkpoint import _to_host
+
+    return _to_host(x)
+
+
+@lru_cache(maxsize=32)
+def _make_sharded_topk(mesh: Mesh, sw: int, chunk: int, per_dev_chunks: int,
+                       k: int, fast: bool):
+    """shard_map top-k sweep with the gallery resident per device.
+
+    Each device FFTs/window-norms its local [n_local, h, w, c] shard inside
+    the jit, streams the replicated queries against its chunks with
+    ``lax.map`` (bounded memory), and keeps a running local top-k. Outputs
+    keep the device axis sharded — [n_dev, Q, k] candidate lists — so the
+    only cross-device traffic is the final fetch."""
+    from witw_tpu.evaluation.gallery import _shard_map
+
+    axes = tuple(mesh.axis_names)
+
+    def local_topk(gal_l, valid_l, s):
+        w = gal_l.shape[2]
+        fo = jnp.fft.rfft(gal_l, axis=2)
+        wsq = window_sq_norms(gal_l, sw)
+        fo = fo.reshape(per_dev_chunks, chunk, *fo.shape[1:])
+        wsq = wsq.reshape(per_dev_chunks, chunk, w)
+        valid_c = valid_l.reshape(per_dev_chunks, chunk)
+        fs, s_norm = query_fft(s, w)
+
+        def one_chunk(args):
+            fo_c, wsq_c, v = args
+            d, o = gallery_vs_queries(fo_c, wsq_c, fs, s_norm, w, fast)  # [G, Q]
+            d = jnp.where(v[:, None], d, jnp.inf)
+            neg_d, idx = jax.lax.top_k(-d.T, k)  # [Q, k] over the chunk axis
+            oo = jnp.take_along_axis(o.T, idx, axis=1)
+            return -neg_d, idx, oo
+
+        ds, idxs, os_ = jax.lax.map(
+            one_chunk, (fo, wsq, valid_c)
+        )  # [C, Q, k] each
+        qn = s.shape[0]
+        gidx = idxs + (jnp.arange(per_dev_chunks) * chunk)[:, None, None]
+        d_flat = jnp.moveaxis(ds, 0, 1).reshape(qn, -1)
+        i_flat = jnp.moveaxis(gidx, 0, 1).reshape(qn, -1)
+        o_flat = jnp.moveaxis(os_, 0, 1).reshape(qn, -1)
+        neg_d, sel = jax.lax.top_k(-d_flat, k)
+        return (
+            (-neg_d)[None],
+            jnp.take_along_axis(i_flat, sel, axis=1)[None],
+            jnp.take_along_axis(o_flat, sel, axis=1)[None],
+        )
+
+    sm = _shard_map()(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P(axes, None, None, None), P(axes), P()),
+        out_specs=(P(axes, None, None),) * 3,
+    )
+    return jax.jit(sm)

@@ -293,6 +293,9 @@ def layer(sat_path: str, bounds: Sequence[float], layer_path: str) -> None:
 
 
 def main(argv=None):
+    from witw_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     parser = argparse.ArgumentParser(description="Geolocation heatmap sweep")
     parser.add_argument("-a", "--aoi", type=int, choices=range(1, 12), default=3,
                         help="SpaceNet AOI of satellite image")

@@ -95,6 +95,9 @@ def run_parity(
 
 
 def main(argv=None):
+    from witw_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     from witw_tpu.configs import fov_experiment
     from witw_tpu.configs.registry import dataset_config
 

@@ -68,7 +68,7 @@ class GeolocateService:
 
     def __init__(self, index, cfg, state, int8: bool = False,
                  fast: bool = False, max_batch: int = 0,
-                 batch_window_ms: float = 3.0):
+                 batch_window_ms: float = 3.0, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -83,6 +83,12 @@ class GeolocateService:
         # bf16 frequency product in the search kernels (opt-in approximation;
         # exact is the default — see match/fft_matcher._freq_product).
         self._fast = fast
+        # Multi-device mesh: keep the gallery RESIDENT sharded across every
+        # device (GalleryIndex.place_sharded) so index capacity scales with
+        # mesh HBM; exact searches then take the shard_map top-k path.
+        self._mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        if self._mesh is not None:
+            self.index.place_sharded(self._mesh)
         self._sq = None  # calibrated lazily on the FIRST real query image so
         self._sq_lock = threading.Lock()  # scales match actual traffic, not a probe
 
@@ -235,6 +241,11 @@ class GeolocateService:
                     idx, dist, orient = self.index.search_approx(
                         embs, k=k_max, candidates=cand, fast=self._fast
                     )
+                elif (self._mesh is not None
+                      and k_max <= self.index._sharded["max_k"]):
+                    idx, dist, orient = self.index.search_sharded(
+                        embs, k=k_max, fast=self._fast
+                    )
                 else:
                     idx, dist, orient = self.index.search(
                         embs, k=k_max, fast=self._fast
@@ -292,6 +303,10 @@ def make_handler(service: GeolocateService):
                     "gallery_size": len(service.index),
                     "int8": service._int8,
                     "max_batch": service.max_batch,
+                    "sharded_devices": (
+                        int(service._mesh.devices.size)
+                        if service._mesh is not None else 1
+                    ),
                 })
             else:
                 self._json(404, {"error": "unknown path"})
@@ -345,6 +360,9 @@ def serve(service: GeolocateService, port: int = 8000,
 
 
 def main(argv=None):
+    from witw_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     import jax
 
     from witw_tpu.configs import fov_experiment
@@ -367,6 +385,11 @@ def main(argv=None):
     parser.add_argument("--max-batch", type=int, default=0,
                         help=">=2 enables request micro-batching: concurrent "
                              "requests share one embed+search dispatch")
+    parser.add_argument("--shard-gallery", action="store_true",
+                        help="keep the gallery resident-sharded across every "
+                             "local device (multi-chip hosts): index capacity "
+                             "scales with mesh HBM; exact searches take the "
+                             "shard_map top-k path")
     parser.add_argument("--batch-window-ms", type=float, default=3.0,
                         help="max wait after the first queued request before "
                              "dispatching a partial batch")
@@ -381,9 +404,14 @@ def main(argv=None):
     )
     state = ckpt.restore("best", pipeline.init(jax.random.PRNGKey(0)))
     index = GalleryIndex.load(args.index)
+    mesh = None
+    if args.shard_gallery:
+        from witw_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     service = GeolocateService(index, cfg, state, int8=args.int8,
                                fast=args.fast_eval, max_batch=args.max_batch,
-                               batch_window_ms=args.batch_window_ms)
+                               batch_window_ms=args.batch_window_ms, mesh=mesh)
     server = serve(service, args.port, args.host)
     print(f"serving {len(index)} tiles on http://{args.host}:{args.port}")
     server.serve_forever()
