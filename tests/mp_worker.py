@@ -96,6 +96,19 @@ def main(process_id: int, num_processes: int, port: int, workdir: str) -> None:
     ev_split = FovGalleryEvaluator(mesh=mesh, query_block=n, gallery_chunk=4)
     ranks_split = ev_split.ranks(o_emb, s_emb)
 
+    # --- mesh-resident sharded top-k serving across the process boundary ---
+    # Planted structure (each query is a noisy window of its gallery item)
+    # keeps top-k index order deterministic under FFT roundoff.
+    from witw_tpu.evaluation.index import GalleryIndex
+
+    s_q = np.empty((n, 1, 5, 16), np.float32)
+    for i in range(n):
+        cols = [(i + j) % 8 for j in range(5)]
+        s_q[i] = o_emb[i][:, cols, :] + 0.1 * rng.standard_normal((1, 5, 16))
+    index = GalleryIndex(o_emb)
+    index.place_sharded(mesh, gallery_chunk=2, max_k=4)
+    top_i, top_d, _ = index.search_sharded(s_q, k=3)
+
     # --- multi-host checkpoint: every process enters the allgather ---
     ckpt = Checkpointer(os.path.join(workdir, "ckpt"))
     ckpt.save("best", state, {"val_loss": loss, "step": 1})
@@ -113,6 +126,8 @@ def main(process_id: int, num_processes: int, port: int, workdir: str) -> None:
                     "loss": loss,
                     "ranks": np.asarray(ranks).tolist(),
                     "ranks_split": np.asarray(ranks_split).tolist(),
+                    "search_i": np.asarray(top_i).tolist(),
+                    "search_d": np.asarray(top_d).tolist(),
                     "ckpt_roundtrip_max_abs_diff": roundtrip_max,
                     "process_count": jax.process_count(),
                 },

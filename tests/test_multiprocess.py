@@ -52,7 +52,17 @@ def _single_process_reference():
     o_emb = rng.standard_normal((n, 1, 8, 16)).astype(np.float32)
     s_emb = rng.standard_normal((n, 1, 8, 16)).astype(np.float32)
     ranks = FovGalleryEvaluator(query_block=n, gallery_chunk=4).ranks(o_emb, s_emb)
-    return float(metrics["loss"]), np.asarray(ranks)
+
+    # Single-device top-k search over the SAME planted queries the workers
+    # build (identical rng draw order — o_emb, s_emb, then the query noise).
+    from witw_tpu.evaluation.index import GalleryIndex
+
+    s_q = np.empty((n, 1, 5, 16), np.float32)
+    for i in range(n):
+        cols = [(i + j) % 8 for j in range(5)]
+        s_q[i] = o_emb[i][:, cols, :] + 0.1 * rng.standard_normal((1, 5, 16))
+    top_i, top_d, _ = GalleryIndex(o_emb).search(s_q, k=3)
+    return float(metrics["loss"]), np.asarray(ranks), top_i, top_d
 
 
 @pytest.mark.slow
@@ -89,7 +99,7 @@ def test_two_process_distributed_matches_single(tmp_path):
         result = json.load(f)
     assert result["process_count"] == 2
 
-    ref_loss, ref_ranks = _single_process_reference()
+    ref_loss, ref_ranks, ref_top_i, ref_top_d = _single_process_reference()
     # same global batch, same replicated params: the distributed loss must
     # match the single-process loss (both are mean-reduced over the same
     # values; XLA reduction-order differences stay within f32 noise)
@@ -98,6 +108,12 @@ def test_two_process_distributed_matches_single(tmp_path):
     # gallery-resident psum eval: rank counts are integer sums -> exact
     np.testing.assert_array_equal(np.asarray(result["ranks"]), ref_ranks)
     np.testing.assert_array_equal(np.asarray(result["ranks_split"]), ref_ranks)
+    # mesh-resident sharded top-k across the process boundary: same indices,
+    # same distances as a single-device search (planted structure keeps index
+    # order deterministic under FFT roundoff)
+    np.testing.assert_array_equal(np.asarray(result["search_i"]), ref_top_i)
+    np.testing.assert_allclose(
+        np.asarray(result["search_d"]), ref_top_d, rtol=1e-5, atol=1e-6)
     # checkpoint roundtrip through process_allgather is bit-exact
     assert result["ckpt_roundtrip_max_abs_diff"] == 0.0
     # the checkpoint file itself landed (written by process 0 only)
