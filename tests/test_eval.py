@@ -306,3 +306,20 @@ def test_index_search_sharded_matches_single(rng):
     i_e, d_e, _ = idx2.search(s, k=3)
     np.testing.assert_allclose(d_l, d_e, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(i_l, i_e)
+
+
+def test_index_score_all_sharded_matches_single(rng):
+    """score_all_sharded (multi-chip heatmap scoring) returns the same
+    [N, Q] distances/orientations as the single-device chunked score_all,
+    including at sizes that pad the device and chunk splits."""
+    from witw_tpu.evaluation import GalleryIndex
+
+    for n in (32, 27):
+        o, s = _random_embeds(rng, n)
+        idx = GalleryIndex(o)
+        d1, o1 = idx.score_all(s, gallery_chunk=8)
+        mesh = make_mesh(n_data=8)
+        d2, o2 = idx.score_all_sharded(s, mesh=mesh, gallery_chunk=4)
+        assert d2.shape == (n, n) and o2.shape == (n, n)
+        np.testing.assert_allclose(d2, d1, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(o2, o1)

@@ -154,6 +154,16 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
                    edge=225.0, offset=112.5, fov=70, state=state,
                    index_cache=cache, verbose=False)
     np.testing.assert_allclose(frame2["score"], frame["score"], rtol=1e-6)
+    # multi-chip scoring (--shard-gallery): gallery resident-sharded over the
+    # 8-device mesh, identical sweep output
+    from witw_tpu.parallel import make_mesh
+
+    frame_sh = sweep(sat_path, photo_path, str(tmp_path / "match_sh.csv"),
+                     bounds, edge=225.0, offset=112.5, fov=70, state=state,
+                     index_cache=cache, verbose=False,
+                     mesh=make_mesh(n_data=8))
+    np.testing.assert_allclose(frame_sh["score"], frame["score"], rtol=1e-5)
+    np.testing.assert_array_equal(frame_sh["orientation"], frame["orientation"])
     # the cache records tower precision so an --int8 rerun treats it as stale
     # (staleness logic unit-tested in tests/test_tools.py)
     from witw_tpu.evaluation.index import GalleryIndex

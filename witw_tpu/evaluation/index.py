@@ -120,6 +120,45 @@ class GalleryIndex:
             out_o[start:stop] = np.asarray(orient)[:real]
         return out_d, out_o
 
+    def score_all_sharded(
+        self,
+        surface_embeds: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        gallery_chunk: int = 2048,
+        fast: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """:meth:`score_all` with the gallery resident-sharded over a device
+        mesh (call :meth:`place_sharded` first, or pass ``mesh``): each device
+        FFTs and scores only its own shard, so a multi-chip sweep splits both
+        the memory and the FLOPs of the 100k-tile heatmap scoring N_dev ways.
+        Same math as :meth:`score_all`; distances agree to f32 FFT roundoff
+        (the shard/chunk partitioning batches the FFTs differently, exactly
+        as different ``gallery_chunk`` values do)."""
+        if getattr(self, "_sharded", None) is None or (
+            mesh is not None and self._sharded["mesh"] is not mesh
+        ):
+            if mesh is None:
+                raise ValueError("call place_sharded(mesh) first or pass mesh=")
+            self.place_sharded(mesh, gallery_chunk)
+        st = self._sharded
+        mesh = st["mesh"]
+        n = len(self.embeds)
+        sw = surface_embeds.shape[2]
+
+        from witw_tpu.parallel.mesh import replicated_sharding
+
+        s_arr = jax.device_put(
+            np.asarray(surface_embeds, np.float32), replicated_sharding(mesh)
+        )
+        fn = _make_sharded_scoreall(
+            mesh, sw, st["chunk"], st["per_dev_chunks"], fast
+        )
+        d, o = fn(st["gal"], s_arr)  # [N_pad, Q] each, device-sharded
+        return (
+            _fetch_sharded(d)[:n].astype(np.float32),
+            _fetch_sharded(o)[:n].astype(np.int32),
+        )
+
     # ---- approximate two-stage retrieval ----
 
     def _pooled(self, sw: Optional[int] = None) -> jnp.ndarray:
@@ -277,8 +316,9 @@ class GalleryIndex:
         pass ``mesh`` to place lazily): each device streams the replicated
         query block against its local shard's chunks and keeps a local top-k;
         the only cross-device movement is the [n_dev, Q, k_local] candidate
-        lists fetched for the host-side merge. Exact — identical distances to
-        :meth:`search` (equal-distance ties may order differently). Replaces
+        lists fetched for the host-side merge. Same math as :meth:`search` —
+        distances agree to f32 FFT roundoff (different chunk batching), and
+        near-tie candidates may order differently. Replaces
         the reference's per-query full-gallery loop (cvig_fov.py:544-552) at
         multi-chip serving scale."""
         if getattr(self, "_sharded", None) is None or (
@@ -393,6 +433,42 @@ def _fetch_sharded(x) -> np.ndarray:
     from witw_tpu.train.checkpoint import _to_host
 
     return _to_host(x)
+
+
+@lru_cache(maxsize=32)
+def _make_sharded_scoreall(mesh: Mesh, sw: int, chunk: int,
+                           per_dev_chunks: int, fast: bool):
+    """shard_map all-scores sweep with the gallery resident per device:
+    each device returns its local [n_local, Q] distance/orientation block;
+    the blocks stay sharded until the host fetch (the heatmap sweep needs
+    every tile's score, so the result IS the traffic)."""
+    from witw_tpu.evaluation.gallery import _shard_map
+
+    axes = tuple(mesh.axis_names)
+
+    def local_scores(gal_l, s):
+        w = gal_l.shape[2]
+        fo = jnp.fft.rfft(gal_l, axis=2)
+        wsq = window_sq_norms(gal_l, sw)
+        fo = fo.reshape(per_dev_chunks, chunk, *fo.shape[1:])
+        wsq = wsq.reshape(per_dev_chunks, chunk, w)
+        fs, s_norm = query_fft(s, w)
+
+        def one_chunk(args):
+            fo_c, wsq_c = args
+            return gallery_vs_queries(fo_c, wsq_c, fs, s_norm, w, fast)
+
+        d, o = jax.lax.map(one_chunk, (fo, wsq))  # [C, chunk, Q]
+        qn = s.shape[0]
+        return d.reshape(-1, qn), o.reshape(-1, qn)
+
+    sm = _shard_map()(
+        local_scores,
+        mesh=mesh,
+        in_specs=(P(axes, None, None, None), P()),
+        out_specs=(P(axes, None), P(axes, None)),
+    )
+    return jax.jit(sm)
 
 
 @lru_cache(maxsize=32)

@@ -86,6 +86,7 @@ def sweep(
     fast: bool = False,
     verbose: bool = True,
     cfg=None,
+    mesh=None,
 ) -> pd.DataFrame:
     """``index_cache``: optional .npz path; when set, the embedded tile
     gallery (a GalleryIndex with tile centers) is loaded from/saved to it so
@@ -258,9 +259,16 @@ def sweep(
 
     # --- one-query distances over the whole tile gallery, chunkwise in
     # bounded device memory (GalleryIndex.score_all; replaces the reference's
-    # single gallery-sized correlation, heatmap.py:171-177) ---
-    distances, orientations = index.score_all(s_emb, gallery_chunk=2048,
-                                              fast=fast)
+    # single gallery-sized correlation, heatmap.py:171-177). With a
+    # multi-device ``mesh`` the gallery is resident-sharded and each chip
+    # scores only its own shard (score_all_sharded; same math, f32 FFT
+    # roundoff from the different chunk batching). ---
+    if mesh is not None and mesh.devices.size > 1:
+        distances, orientations = index.score_all_sharded(
+            s_emb, mesh=mesh, gallery_chunk=2048, fast=fast)
+    else:
+        distances, orientations = index.score_all(s_emb, gallery_chunk=2048,
+                                                  fast=fast)
     distances = distances[:, 0]
     orientations = orientations[:, 0]
     out_width = index.embeds.shape[2]
@@ -320,14 +328,24 @@ def main(argv=None):
     parser.add_argument("--fast-eval", action="store_true",
                         help="bf16 frequency product in the tile scoring sweep "
                              "(opt-in approximation; exact is the default)")
+    parser.add_argument("--shard-gallery", action="store_true",
+                        help="score with the tile gallery resident-sharded "
+                             "across every local device (multi-chip hosts); "
+                             "same CSV (f32 roundoff)")
     args = parser.parse_args(argv)
     from witw_tpu.tools.cities import CITIES
 
     name = [c.name for c in CITIES.values() if c.index == args.aoi][0]
     sat_path = os.path.join(args.satdir, strip_filename(name))
+    mesh = None
+    if args.shard_gallery:
+        from witw_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     sweep(sat_path, args.photopath, args.csvpath, args.bounds,
           args.edge, args.offset, args.fov, checkpoint_dir=args.weights,
-          index_cache=args.index_cache, int8=args.int8, fast=args.fast_eval)
+          index_cache=args.index_cache, int8=args.int8, fast=args.fast_eval,
+          mesh=mesh)
     if args.image:
         layer(sat_path, args.bounds, args.layerpath)
 
