@@ -388,6 +388,14 @@ def test_serving_daemon_end_to_end(tmp_path, rng):
             [it["distance"] for it in results], rtol=1e-5, atol=1e-6,
         )
 
+        # observability: /stats counts the two successful searches above
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 2 and stats["dispatches"] == 2
+        assert stats["exact_searches"] == 1 and stats["approx_searches"] == 1
+        assert stats["errors"] == 0 and stats["uptime_s"] >= 0
+        assert stats["mean_batch"] == 1.0
+
         # bad input: not an image
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/geolocate", data=b"not an image",

@@ -14,6 +14,8 @@ at device speed:
         pooled-cosine prefilter followed by exact rerank of that many tiles,
         for 100k+ tile galleries)
     GET  /healthz            -> {"status": "ok", "gallery_size": N, ...}
+    GET  /stats              -> request/dispatch/error counters, uptime,
+        mean requests per device dispatch (micro-batching occupancy)
 
 Run: ``python -m witw_tpu.tools.serve --index tiles.npz --weights ./weights
 --tag fov_70_witw --fov 70 [--int8] [--max-batch 8] [--port 8000]``
@@ -108,7 +110,9 @@ class GeolocateService:
         self._params = state.params
 
         self.max_batch = int(max_batch)
-        self.stats = {"requests": 0, "dispatches": 0}
+        self.started_at = time.time()
+        self.stats = {"requests": 0, "dispatches": 0, "errors": 0,
+                      "exact_searches": 0, "approx_searches": 0}
         self._queue: Optional[queue.Queue] = None
         self._worker: Optional[threading.Thread] = None
         if self.max_batch >= 2:
@@ -223,6 +227,8 @@ class GeolocateService:
                         if (r.candidates > 0) == approx]
                 if not rows:
                     continue
+                self.stats["approx_searches" if approx else
+                           "exact_searches"] += len(rows)
                 k_max = max(group[i].k for i in rows)
                 embs = s_emb[rows]
                 # pad the query axis to a power of two as well — the search
@@ -256,6 +262,7 @@ class GeolocateService:
                         idx[out_row], dist[out_row], orient[out_row], r.k
                     )
         except BaseException as err:  # propagate to every waiter
+            self.stats["errors"] += len(group)
             for r in group:
                 r.error = err
         finally:
@@ -308,6 +315,15 @@ def make_handler(service: GeolocateService):
                         if service._mesh is not None else 1
                     ),
                 })
+            elif self.path.startswith("/stats"):
+                s = dict(service.stats)
+                s["uptime_s"] = round(time.time() - service.started_at, 3)
+                # mean requests per device dispatch — the micro-batching win
+                s["mean_batch"] = (
+                    round(s["requests"] / s["dispatches"], 3)
+                    if s["dispatches"] else 0.0
+                )
+                self._json(200, s)
             else:
                 self._json(404, {"error": "unknown path"})
 
