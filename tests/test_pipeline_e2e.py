@@ -567,3 +567,11 @@ def test_serving_daemon_sharded_gallery(rng):
     # approximate requests keep their own (unsharded two-stage) path
     r_approx = sharded.geolocate(buf.getvalue(), k=4, candidates=20)
     assert [x["tile"] for x in r_approx] == [x["tile"] for x in r_plain]
+
+    # k beyond the placed per-shard top-k width is CLAMPED, never silently
+    # served by a single-device full-gallery fallback (which would defeat
+    # the sharding and OOM a gallery sized for the whole mesh)
+    index_b.place_sharded(mesh, max_k=4)
+    r_big = sharded.geolocate(buf.getvalue(), k=10)
+    assert len(r_big) == 4
+    assert [x["tile"] for x in r_big] == [x["tile"] for x in r_plain]

@@ -135,7 +135,7 @@ class GalleryIndex:
         (the shard/chunk partitioning batches the FFTs differently, exactly
         as different ``gallery_chunk`` values do)."""
         if getattr(self, "_sharded", None) is None or (
-            mesh is not None and self._sharded["mesh"] is not mesh
+            mesh is not None and self._sharded["mesh"] != mesh
         ):
             if mesh is None:
                 raise ValueError("call place_sharded(mesh) first or pass mesh=")
@@ -322,7 +322,7 @@ class GalleryIndex:
         the reference's per-query full-gallery loop (cvig_fov.py:544-552) at
         multi-chip serving scale."""
         if getattr(self, "_sharded", None) is None or (
-            mesh is not None and self._sharded["mesh"] is not mesh
+            mesh is not None and self._sharded["mesh"] != mesh
         ):
             if mesh is None:
                 raise ValueError(
@@ -429,10 +429,11 @@ class GalleryIndex:
 
 def _fetch_sharded(x) -> np.ndarray:
     """Host fetch that also works when shards live on other processes'
-    devices (multi-host serving meshes)."""
-    from witw_tpu.train.checkpoint import _to_host
+    devices (multi-host serving meshes) — the one implementation lives in
+    evaluation/gallery."""
+    from witw_tpu.evaluation.gallery import _fetch
 
-    return _to_host(x)
+    return _fetch(x)
 
 
 @lru_cache(maxsize=32)

@@ -113,6 +113,10 @@ class GeolocateService:
         self.started_at = time.time()
         self.stats = {"requests": 0, "dispatches": 0, "errors": 0,
                       "exact_searches": 0, "approx_searches": 0}
+        # stats are bumped from concurrent request threads when batching is
+        # off; += is a read-modify-write and drops counts without a lock
+        self._stats_lock = threading.Lock()
+        self._lifecycle = threading.Lock()  # geolocate enqueue vs close()
         self._queue: Optional[queue.Queue] = None
         self._worker: Optional[threading.Thread] = None
         if self.max_batch >= 2:
@@ -154,14 +158,24 @@ class GeolocateService:
         # funneled through the batcher.
         img = self._decode(image_bytes)
         k = max(1, min(int(k), len(self.index)))
+        if self._mesh is not None:
+            # sharded serving answers from per-shard top-k candidate lists;
+            # k beyond the placed width must not silently fall back to a
+            # single-device full-gallery search (the gallery was sharded
+            # precisely because one device can't hold it)
+            k = min(k, self.index._sharded["max_k"])
         candidates = int(candidates)
         req = _Pending(img, k, candidates)
-        # inline when batching is off or the batcher was close()d —
-        # never enqueue into a queue nobody drains
-        if self._queue is None or self._worker is None:
+        # inline when batching is off or the batcher was close()d — never
+        # enqueue into a queue nobody drains. The lifecycle lock closes the
+        # check-then-put race against close().
+        with self._lifecycle:
+            batching = self._queue is not None and self._worker is not None
+            if batching:
+                self._queue.put(req)
+        if not batching:
             self._run_group([req])
         else:
-            self._queue.put(req)
             req.done.wait()
         if req.error is not None:
             raise req.error
@@ -171,18 +185,26 @@ class GeolocateService:
         """Stop the batcher thread (idempotent; no-op without batching).
         In-flight requests finish; requests racing the shutdown are served
         inline by their own thread (see geolocate)."""
-        if self._queue is not None and self._worker is not None:
+        with self._lifecycle:
             worker, self._worker = self._worker, None
-            self._queue.put(None)
-            worker.join(timeout=30)
-            # serve anything that slipped in behind the sentinel
-            while True:
-                try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                if req is not None:
-                    self._run_group([req])
+            if worker is not None:
+                self._queue.put(None)
+        if worker is None:
+            return
+        worker.join(timeout=30)
+        if worker.is_alive():
+            # a long dispatch is still draining the queue; it owns the
+            # sentinel and will exit on it — don't race it for the queue
+            return
+        # serve anything that slipped in behind the sentinel (enqueued
+        # before close() took the lock)
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                self._run_group([req])
 
     def _batch_loop(self) -> None:
         while True:
@@ -211,8 +233,9 @@ class GeolocateService:
 
         try:
             b = len(group)
-            self.stats["requests"] += b
-            self.stats["dispatches"] += 1
+            with self._stats_lock:
+                self.stats["requests"] += b
+                self.stats["dispatches"] += 1
             imgs = np.stack([r.img for r in group])
             # pad to a power of two: bounded compile count across batch sizes
             bucket = 1 << (b - 1).bit_length()
@@ -227,8 +250,9 @@ class GeolocateService:
                         if (r.candidates > 0) == approx]
                 if not rows:
                     continue
-                self.stats["approx_searches" if approx else
-                           "exact_searches"] += len(rows)
+                with self._stats_lock:
+                    self.stats["approx_searches" if approx else
+                               "exact_searches"] += len(rows)
                 k_max = max(group[i].k for i in rows)
                 embs = s_emb[rows]
                 # pad the query axis to a power of two as well — the search
@@ -247,10 +271,15 @@ class GeolocateService:
                     idx, dist, orient = self.index.search_approx(
                         embs, k=k_max, candidates=cand, fast=self._fast
                     )
-                elif (self._mesh is not None
-                      and k_max <= self.index._sharded["max_k"]):
+                elif self._mesh is not None:
+                    # k_max <= max_k (geolocate clamps). Bucket k to a power
+                    # of two: the sharded top-k compiles per k and client k
+                    # values vary; results are ascending so each request
+                    # slices its own k.
+                    kb = min(1 << (k_max - 1).bit_length(),
+                             self.index._sharded["max_k"])
                     idx, dist, orient = self.index.search_sharded(
-                        embs, k=k_max, fast=self._fast
+                        embs, k=kb, fast=self._fast
                     )
                 else:
                     idx, dist, orient = self.index.search(
@@ -262,7 +291,8 @@ class GeolocateService:
                         idx[out_row], dist[out_row], orient[out_row], r.k
                     )
         except BaseException as err:  # propagate to every waiter
-            self.stats["errors"] += len(group)
+            with self._stats_lock:
+                self.stats["errors"] += len(group)
             for r in group:
                 r.error = err
         finally:
