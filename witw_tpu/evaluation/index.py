@@ -182,19 +182,26 @@ class GalleryIndex:
         if not hasattr(self, "_pool"):
             self._pool = {}
         if key not in self._pool:
-            x = jnp.asarray(self.embeds)  # [N, h, w, c]
+            # Built on HOST: materializing the full [N, h, w, c] gallery on
+            # one device caps approximate serving at single-device HBM even
+            # when the exact path is mesh-sharded; only the small [N, S, hc]
+            # descriptor table goes to the device.
+            x = self.embeds  # np [N, h, w, c]
             if sw == w:
-                d = jnp.mean(x, axis=2)[:, None]  # [N, 1, h, c]
+                d = np.mean(x, axis=2)[:, None]  # [N, 1, h, c]
             else:
-                xx = jnp.concatenate([x, x[:, :, : sw - 1]], axis=2)
-                cum = jnp.cumsum(xx, axis=2)
-                cum = jnp.concatenate([jnp.zeros_like(cum[:, :, :1]), cum], axis=2)
+                xx = np.concatenate([x, x[:, :, : sw - 1]], axis=2)
+                cum = np.cumsum(xx, axis=2, dtype=np.float32)
+                cum = np.concatenate(
+                    [np.zeros_like(cum[:, :, :1]), cum], axis=2
+                )
                 wm = (cum[:, :, sw:] - cum[:, :, :-sw]) / sw  # [N, h, w, c]
-                d = jnp.moveaxis(wm[:, :, ::stride], 2, 1)  # [N, S, h, c]
+                d = np.moveaxis(wm[:, :, ::stride], 2, 1)  # [N, S, h, c]
             d = d.reshape(len(self.embeds), d.shape[1], -1)
-            self._pool[key] = d / jnp.maximum(
-                jnp.linalg.norm(d, axis=2, keepdims=True), 1e-10
+            d = d / np.maximum(
+                np.linalg.norm(d, axis=2, keepdims=True), 1e-10
             )
+            self._pool[key] = jnp.asarray(d)
         return self._pool[key]
 
     def search_approx(
