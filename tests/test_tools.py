@@ -533,3 +533,84 @@ def test_static_int8_saturation_guard(rng):
     assert on_calib < 1e-3
     assert on_hot > 0.02  # measured ~0.048: clipping re-normalizes downstream
     assert on_hot > on_calib * 10
+
+
+def test_build_index_from_dataset_csv(tmp_path):
+    """tools/build_index embeds a dataset CSV's overhead tiles into a
+    serving GalleryIndex: embeddings match a manual overhead-tower pass,
+    metadata columns round-trip, and the saved index answers searches."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.data import write_synthetic_dataset
+    from witw_tpu.data.csv_registry import read_pair_paths
+    from witw_tpu.data.loader import decode_image, resize_host
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.ops.image import normalize_images
+    from witw_tpu.ops.polar import polar_transform
+    from witw_tpu.tools.build_index import build_index
+    from witw_tpu.train.pipeline import make_pipeline
+
+    csv_path = write_synthetic_dataset(
+        str(tmp_path / "data"), n=5, schema="witw",
+        surface_hw=(32, 64), overhead_hw=(32, 32),
+    )
+    cfg = fov_experiment(dataset="witw", fov=70)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, surface_height=32, surface_width_max=64,
+            overhead_size=32),
+        # f32 compute so the batched tool pass and the one-shot manual pass
+        # agree to tolerance (bf16 rounding is batch-layout dependent)
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"),
+    )
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    out = str(tmp_path / "gallery.npz")
+    index = build_index(
+        csv_path, out, dataset="witw", fov=70, batch_size=2,
+        meta_cols=["overhead_path"], state=state, cfg=cfg, verbose=False,
+    )
+    assert len(index) == 5
+
+    # embeddings match a manual overhead-tower pass over the same tiles
+    pairs = read_pair_paths(cfg.data.dataset, csv_path)
+    tiles = np.stack([
+        resize_host(decode_image(o).astype(np.float32), 32, 32)
+        for _, o in pairs
+    ])
+    polar = polar_transform(
+        normalize_images(jnp.asarray(tiles), cfg.data.img_mean,
+                         cfg.data.img_std), 32, 64)
+    want = np.asarray(pipeline.overhead_model.apply(
+        {"params": state.params["overhead"]}, polar))
+    np.testing.assert_allclose(index.embeds, want, rtol=1e-5, atol=1e-5)
+
+    # persisted meta: precision, weights fingerprint, paths, CSV column
+    loaded = GalleryIndex.load(out)
+    assert str(loaded.meta["precision"]) == "f32"
+    assert len(str(loaded.meta["params_sha"])) == 64
+    assert loaded.meta["path"].shape == (5,)
+    assert all("overhead/" in p for p in loaded.meta["overhead_path"])
+
+    # the saved index serves top-k queries
+    q = np.asarray(pipeline.surface_model.apply(
+        {"params": state.params["surface"]},
+        normalize_images(
+            jnp.asarray(np.stack([
+                resize_host(decode_image(s).astype(np.float32), 32, 64)
+                for s, _ in pairs[:2]
+            ])), cfg.data.img_mean, cfg.data.img_std),
+    ))
+    idx, dist, orient = loaded.search(q, k=3)
+    assert idx.shape == (2, 3) and np.all(np.isfinite(dist))
+
+    # unknown meta column is rejected, not silently dropped
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        build_index(csv_path, None, state=state, cfg=cfg,
+                    meta_cols=["nope"], verbose=False, batch_size=2)

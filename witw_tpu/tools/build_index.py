@@ -1,0 +1,200 @@
+"""Build a serving GalleryIndex from a dataset CSV's overhead tiles.
+
+The serving daemon (tools/serve.py) and the programmatic retrieval API
+(evaluation/index.py) consume a prebuilt :class:`GalleryIndex`.
+``tools/heatmap.py --index-cache`` builds grid indexes from a satellite
+strip; this tool builds one from a dataset CSV in either reference schema
+(CVUSA headerless / WITW 17-column, reference model/cvig_fov.py:27-51) —
+e.g. the CVUSA test gallery — so a trained checkpoint can serve
+dataset-style galleries too. The reference has no persistent gallery at all:
+its serve path re-embeds every tile on every sweep
+(tools/heatmap/heatmap.py:159-168).
+
+Run: ``python -m witw_tpu.tools.build_index --csv test.csv --out gallery.npz
+--dataset cvusa --fov 70 [--int8] [--meta-cols lon,lat]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def build_index(
+    csv_path: str,
+    out_path: Optional[str] = None,
+    dataset: str = "witw",
+    fov: int = 70,
+    checkpoint_dir: str = "./weights",
+    tag: Optional[str] = None,
+    batch_size: int = 64,
+    int8: bool = False,
+    meta_cols: Optional[Sequence[str]] = None,
+    state=None,
+    cfg=None,
+    verbose: bool = True,
+):
+    """Embed every overhead tile listed in ``csv_path`` with the overhead
+    tower and persist a GalleryIndex (embeddings + optional CSV metadata
+    columns + precision/weights fingerprint) to ``out_path``.
+
+    ``meta_cols``: CSV column names copied into the index meta (e.g.
+    ``["lon", "lat"]`` stored as serving's ``x``/``y``); numeric columns are
+    stored as float64, everything else as strings. ``int8`` embeds with the
+    static-int8 towers calibrated on a sample spanning the whole gallery
+    (same coverage contract as the heatmap sweep)."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.data.csv_registry import read_pair_paths
+    from witw_tpu.data.loader import decode_image, resize_host
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.tools.heatmap import SATURATION_WARN_FRACTION
+    from witw_tpu.train.checkpoint import Checkpointer
+    from witw_tpu.train.pipeline import make_pipeline
+    from witw_tpu.utils.hashing import params_fingerprint
+
+    if cfg is None:
+        cfg = fov_experiment(dataset=dataset, fov=fov)
+    d = cfg.data
+    pipeline = make_pipeline(cfg)
+    if state is None:
+        ckpt = Checkpointer(
+            os.path.join(checkpoint_dir, tag or f"fov_{fov}_{dataset}")
+        )
+        state = ckpt.restore("best", pipeline.init(jax.random.PRNGKey(0)))
+
+    pairs = read_pair_paths(cfg.data.dataset, csv_path)
+    overhead_paths = [o for _, o in pairs]
+    n = len(overhead_paths)
+
+    def read_tile(path):
+        tile = decode_image(path).astype(np.float32)
+        return resize_host(tile[..., : d.channels], d.overhead_size,
+                           d.overhead_size)
+
+    def _preprocess(x):
+        from witw_tpu.ops.image import normalize_images
+        from witw_tpu.ops.polar import polar_transform
+
+        x = normalize_images(x, d.img_mean, d.img_std)
+        return polar_transform(x, d.surface_height, d.surface_width_max)
+
+    sq_box = [None]
+
+    @jax.jit
+    def embed(params, x):
+        from witw_tpu.models.quantize import quantized_fov_forward_static
+
+        polar = _preprocess(x)
+        if int8:
+            return quantized_fov_forward_static(sq_box[0], polar, True)
+        return pipeline.overhead_model.apply({"params": params["overhead"]},
+                                             polar)
+
+    sat_frac = None
+    calib_tiles = {}
+    if int8:
+        from witw_tpu.models.quantize import quantize_tower_static
+
+        calib_idx = np.unique(
+            np.linspace(0, n - 1, min(n, batch_size)).astype(int)
+        )
+        calib = np.stack([read_tile(overhead_paths[i]) for i in calib_idx])
+        calib_tiles = dict(zip(calib_idx.tolist(), calib))
+        polar_c = _preprocess(jnp.asarray(calib))
+        sq_box[0] = quantize_tower_static(
+            state.params["overhead"], [np.asarray(polar_c)], True
+        )
+
+    buf = np.zeros((batch_size, d.overhead_size, d.overhead_size, d.channels),
+                   np.float32)
+    parts = []
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        for j in range(stop - start):
+            tile = calib_tiles.pop(start + j, None)
+            buf[j] = read_tile(overhead_paths[start + j]) if tile is None else tile
+        buf[stop - start:] = 0.0
+        if int8 and sat_frac is None:
+            from witw_tpu.models.quantize import static_int8_saturation
+
+            sat_frac = static_int8_saturation(
+                sq_box[0], _preprocess(jnp.asarray(buf)), True
+            )
+            if sat_frac > SATURATION_WARN_FRACTION:
+                import warnings
+
+                warnings.warn(
+                    f"int8 activation saturation {sat_frac:.2%} exceeds "
+                    f"{SATURATION_WARN_FRACTION:.2%} — calibration sample may "
+                    "not span the gallery distribution; scores may clip"
+                )
+        parts.append(
+            np.asarray(embed(state.params, jnp.asarray(buf)))[: stop - start]
+        )
+    embeds = np.concatenate(parts)[:n]
+
+    meta = {
+        "precision": "int8" if int8 else "f32",
+        "params_sha": params_fingerprint(state.params["overhead"]),
+        "path": np.asarray(overhead_paths),
+    }
+    if sat_frac is not None:
+        meta["int8_saturation"] = sat_frac
+    if meta_cols:
+        frame = pd.read_csv(csv_path, header=cfg.data.dataset.header)
+        for col in meta_cols:
+            if col not in frame.columns:
+                raise ValueError(
+                    f"--meta-cols column {col!r} not in CSV "
+                    f"(has: {list(frame.columns)})"
+                )
+            vals = frame[col].to_numpy()
+            meta[col] = (
+                vals.astype(np.float64)
+                if np.issubdtype(vals.dtype, np.number)
+                else vals.astype(str)
+            )
+
+    index = GalleryIndex(embeds, meta=meta)
+    if out_path:
+        index.save(out_path)
+        if verbose:
+            print(f"embedded {n} tiles -> {out_path}")
+    return index
+
+
+def main(argv=None):
+    from witw_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--csv", required=True, help="dataset CSV (either schema)")
+    parser.add_argument("--out", required=True, help="output GalleryIndex .npz")
+    parser.add_argument("--dataset", default="witw", choices=["cvusa", "witw"])
+    parser.add_argument("--fov", type=int, default=70)
+    parser.add_argument("--weights", default="./weights")
+    parser.add_argument("--tag", default=None)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--int8", action="store_true",
+                        help="embed with the static-int8 towers")
+    parser.add_argument("--meta-cols", default=None,
+                        help="comma-separated CSV columns to copy into the "
+                             "index meta (e.g. lon,lat)")
+    args = parser.parse_args(argv)
+    build_index(
+        args.csv, args.out, dataset=args.dataset, fov=args.fov,
+        checkpoint_dir=args.weights, tag=args.tag,
+        batch_size=args.batch_size, int8=args.int8,
+        meta_cols=args.meta_cols.split(",") if args.meta_cols else None,
+    )
+
+
+if __name__ == "__main__":
+    main()
