@@ -31,8 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from witw_tpu.match.distance import paired_chord_distance_fft, window_sq_norms
-from witw_tpu.match.fft_matcher import gallery_vs_queries, query_fft
+from witw_tpu.match.distance import window_sq_norms
+from witw_tpu.match.fft_matcher import (
+    candidates_vs_queries,
+    gallery_vs_queries,
+    query_fft,
+)
 
 
 def _pad_to(x: np.ndarray, size: int, axis: int = 0) -> np.ndarray:
@@ -139,14 +143,14 @@ class FovGalleryEvaluator:
                 gal.reshape(n_chunks, self.gallery_chunk, *gal.shape[1:]),
                 gal_valid,
             )
-            block_fn = _make_block_counter_pallas(sw)
+            block_fn = _make_block_counter_pallas()
         else:
             fo = jnp.fft.rfft(gal, axis=2)  # [Ng, h, wf, c]
             wsq = window_sq_norms(gal, sw)  # [Ng, w]
             fo = fo.reshape(n_chunks, self.gallery_chunk, *fo.shape[1:])
             wsq = wsq.reshape(n_chunks, self.gallery_chunk, w)
             chunk_args = (fo, wsq, gal_valid)
-            block_fn = _make_block_counter(self.mesh, self.fast_matmul)
+            block_fn = _make_block_counter(self.fast_matmul)
 
         # --- query sweep: all blocks in ONE dispatch (lax.map over query
         # blocks, each lax.map-ing over gallery chunks) ---
@@ -264,8 +268,21 @@ def _fetch(x) -> np.ndarray:
 
 @functools.partial(jax.jit)
 def _paired_distance_batched(overhead, surface):
-    d, _ = paired_chord_distance_fft(overhead, surface)
-    return d
+    """True-match distances through the SAME fft_matcher arithmetic as the
+    sweep (query_fft padding + chord_scores' rsqrt/epsilon guards): the rank
+    threshold ``d <= d_true`` must not be crossed by formula-level rounding
+    differences between two implementations of the same math — a self pair
+    dropped at true rank k > 1 would under-report the rank and inflate
+    top-1. (match.distance.paired_chord_distance_fft computes the identical
+    quantity with divide-vs-rsqrt and no clamps; it remains the oracle
+    cross-check in tests.)"""
+    w = overhead.shape[2]
+    sw = surface.shape[2]
+    fs, s_norm = query_fft(surface, w)
+    fo = jnp.fft.rfft(overhead.astype(jnp.float32), axis=2)[:, None]
+    wsq = window_sq_norms(overhead, sw)[:, None]
+    d, _ = candidates_vs_queries(fo, wsq, fs, s_norm, w)
+    return d[:, 0]
 
 
 def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, s_blocks,
@@ -295,7 +312,7 @@ def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, s_blocks,
     return jax.lax.map(one_qblock, (s_blocks, d_true_blocks))  # [NB, Q]
 
 
-def _make_block_counter(mesh: Optional[Mesh], fast: bool = False):
+def _make_block_counter(fast: bool = False):
     @jax.jit
     def all_counts(fo_chunks, wsq_chunks, valid_chunks, s_blocks, d_true_blocks):
         w = wsq_chunks.shape[-1]
@@ -350,7 +367,7 @@ def _make_gallery_sharded_counter(mesh: Mesh, sw: int, chunk: int,
     return jax.jit(sm)
 
 
-def _make_block_counter_pallas(sw: int):
+def _make_block_counter_pallas():
     """Counter using the fused Pallas correlation+distance kernel
     (witw_tpu.ops.pallas.fused_match) — no [G, Q, W] tensor in HBM."""
     from witw_tpu.ops.pallas.fused_match import fused_chord_distance_nhwc
@@ -386,6 +403,9 @@ def euclidean_ranks(
     g = jnp.asarray(gallery_embeds, jnp.float32)
     q = jnp.asarray(query_embeds, jnp.float32)
     n = q.shape[0]
+    # true match of query i is gallery row i (the reference's paired test
+    # sets); an asymmetric gallery would silently read clamped rows
+    assert g.shape[0] == n, (g.shape[0], n)
 
     @jax.jit
     def block_counts(q_block, start):

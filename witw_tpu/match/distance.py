@@ -38,6 +38,7 @@ def window_sq_norms(overhead_embed: jax.Array, window: int) -> jax.Array:
     o = overhead_embed.astype(jnp.float32)
     col_sq = jnp.sum(o * o, axis=(1, 3))  # [Bo, W]
     w = col_sq.shape[-1]
+    assert window <= w, (window, w)  # wider windows would clamp the gather
     if window == w:
         return jnp.sum(col_sq, axis=-1, keepdims=True) * jnp.ones((1, w))
     ext = jnp.concatenate([col_sq, col_sq[:, : window - 1]], axis=-1)
@@ -83,6 +84,7 @@ def paired_chord_distance(
     s = surface_embed.astype(jnp.float32)
     b, h, w, c = o.shape
     sw = s.shape[2]
+    assert sw <= w, (sw, w)  # mirror circular_correlation's guard
     ext = jnp.concatenate([o, o[:, :, : sw - 1, :]], axis=2) if sw > 1 else o
     idx = jnp.arange(w)[:, None] + jnp.arange(sw)[None, :]
     windows = ext[:, :, idx, :]  # [B, h, W, s_w, c]
@@ -110,6 +112,7 @@ def paired_chord_distance_fft(
     s = surface_embed.astype(jnp.float32)
     w = o.shape[2]
     sw = s.shape[2]
+    assert sw <= w, (sw, w)  # mirror circular_correlation's guard
     s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
     fo = jnp.fft.rfft(o, axis=2)
     fs = jnp.fft.rfft(s_pad, axis=2)

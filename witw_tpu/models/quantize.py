@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from witw_tpu.models.backbones.vgg16 import (
-    DROPOUT_CONVS,
     VGG16_BLOCKS,
     wrap_pad_width,
 )
@@ -151,6 +150,13 @@ def calibrate_fov_activation_scales(params, batches, circ_padding=False):
     scale stored under a conv name is the abs-max of its (post-ReLU) OUTPUT —
     i.e. the next conv's input. ``batches``: iterable of normalized NHWC
     float inputs."""
+    batches = list(batches)
+    if not batches:
+        raise ValueError(
+            "calibration requires at least one batch: empty input would "
+            "leave every activation scale at its 1e-12 floor and quantize "
+            "all activations to +-127"
+        )
     maxes = {k: 0.0 for k in _CONV_ORDER}
     in_max = 0.0
     for x in batches:
@@ -318,7 +324,7 @@ def quantized_fov_forward_static(
         h = x
     else:
         x = jnp.asarray(x, jnp.float32)
-        h = jnp.clip(jnp.round(x / sq["input_scale"]), -127, 127).astype(jnp.int8)
+        h = quantize_input(x, sq["input_scale"])
 
     def qconv(h_q, entry, strides=(1, 1)):
         return jax.lax.conv_general_dilated(
@@ -385,6 +391,12 @@ def quantized_fov_forward_static(
         q = requant(acc, jnp.tile(entry["requant_m"], f), relu=True)
         return q.reshape(b_, hh, ww, entry["kernel_q"].shape[-1])
 
+    if first_conv_w2d and "kernel_q" not in sq["vgg"]["conv_0"]:
+        raise ValueError(
+            "first_conv_w2d requires int8 conv_0 tables; this tower was "
+            "prepared with first_conv_bf16=True — the two first-conv "
+            "variants are mutually exclusive"
+        )
     w2d_blocks = {0: first_conv_w2d, 1: block2_w2d}
     for block_i, block in enumerate(VGG16_BLOCKS):
         convs = block
@@ -454,6 +466,7 @@ def quantize_pipeline_static(pipeline, state, calib_batches, first_conv_bf16=Fal
     quantized_fov_forward_static. ``calib_batches``: iterable of
     (surface_norm, polar_norm) f32 NHWC pairs (preprocessed)."""
     params = jax.tree.map(np.asarray, state.params)
+    calib_batches = list(calib_batches)  # a generator must survive both uses
     surf_b = [np.asarray(s) for s, _ in calib_batches]
     polar_b = [np.asarray(p) for _, p in calib_batches]
     return (
