@@ -573,7 +573,8 @@ def test_build_index_from_dataset_csv(tmp_path):
     out = str(tmp_path / "gallery.npz")
     index = build_index(
         csv_path, out, dataset="witw", fov=70, batch_size=2,
-        meta_cols=["overhead_path"], state=state, cfg=cfg, verbose=False,
+        meta_cols=["overhead_path", "col0:x"], state=state, cfg=cfg,
+        verbose=False,
     )
     assert len(index) == 5
 
@@ -596,6 +597,8 @@ def test_build_index_from_dataset_csv(tmp_path):
     assert len(str(loaded.meta["params_sha"])) == 64
     assert loaded.meta["path"].shape == (5,)
     assert all("overhead/" in p for p in loaded.meta["overhead_path"])
+    # 'src:dst' rename: col0 (empty -> NaN float) lands under serving's 'x'
+    assert "x" in loaded.meta and loaded.meta["x"].shape == (5,)
 
     # the saved index serves top-k queries
     q = np.asarray(pipeline.surface_model.apply(

@@ -41,11 +41,13 @@ def build_index(
     tower and persist a GalleryIndex (embeddings + optional CSV metadata
     columns + precision/weights fingerprint) to ``out_path``.
 
-    ``meta_cols``: CSV column names copied into the index meta (e.g.
-    ``["lon", "lat"]`` stored as serving's ``x``/``y``); numeric columns are
-    stored as float64, everything else as strings. ``int8`` embeds with the
-    static-int8 towers calibrated on a sample spanning the whole gallery
-    (same coverage contract as the heatmap sweep)."""
+    ``meta_cols``: CSV column names copied into the index meta; a
+    ``"src:dst"`` entry renames on the way in (e.g. ``["lon:x", "lat:y"]``
+    lands the coordinates under the ``x``/``y`` keys the serving daemon
+    formats into responses). Numeric columns are stored as float64,
+    everything else as strings. ``int8`` embeds with the static-int8 towers
+    calibrated on a sample spanning the whole gallery (same coverage
+    contract as the heatmap sweep)."""
     import jax
     import jax.numpy as jnp
     import pandas as pd
@@ -149,14 +151,16 @@ def build_index(
         meta["int8_saturation"] = sat_frac
     if meta_cols:
         frame = pd.read_csv(csv_path, header=cfg.data.dataset.header)
-        for col in meta_cols:
+        for spec in meta_cols:
+            col, _, dst = spec.partition(":")
+            dst = dst or col
             if col not in frame.columns:
                 raise ValueError(
                     f"--meta-cols column {col!r} not in CSV "
                     f"(has: {list(frame.columns)})"
                 )
             vals = frame[col].to_numpy()
-            meta[col] = (
+            meta[dst] = (
                 vals.astype(np.float64)
                 if np.issubdtype(vals.dtype, np.number)
                 else vals.astype(str)
@@ -186,7 +190,8 @@ def main(argv=None):
                         help="embed with the static-int8 towers")
     parser.add_argument("--meta-cols", default=None,
                         help="comma-separated CSV columns to copy into the "
-                             "index meta (e.g. lon,lat)")
+                             "index meta; 'src:dst' renames (e.g. "
+                             "lon:x,lat:y for the serving daemon's x/y)")
     args = parser.parse_args(argv)
     build_index(
         args.csv, args.out, dataset=args.dataset, fov=args.fov,
