@@ -130,6 +130,34 @@ def test_fov_evaluator_asymmetric_gallery(rng):
         ev.ranks(gal, s)
 
 
+def test_fov_evaluator_true_rank_above_one(rng):
+    """True rank > 1 must be exact in every sweep variant. The self pair's
+    sweep distance and its d_true threshold come from differently-batched
+    kernels whose f32 accumulation differs (~1e-7, measured) — the evaluator
+    must count the true match unconditionally (reference semantics: the self
+    tie is exact within one distance matrix, cvig_fov.py:552), not clamp
+    counts to >= 1 (which only repairs rank-1 queries)."""
+    n, h, w, sw, c = 24, 4, 16, 10, 8
+    o = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    s = np.zeros((n, h, sw, c), np.float32)
+    for q in range(n):
+        j = (q + 1) % n
+        cols = [(k) % w for k in range(sw)]
+        # best match is gallery item j, the TRUE match (self) is second by a
+        # clear margin, everything else is uncorrelated noise
+        s[q] = o[j][:, cols, :] + 0.3 * o[q][:, cols, :]
+    want = brute_force_fov_ranks(o, s)
+    assert np.all(want == 2), want  # planted structure sanity
+    for kwargs in (
+        {},
+        {"fast_matmul": True},
+        {"mesh": make_mesh(n_data=8)},
+        {"mesh": make_mesh(n_data=8), "shard_gallery": True},
+    ):
+        ev = FovGalleryEvaluator(query_block=8, gallery_chunk=8, **kwargs)
+        np.testing.assert_array_equal(ev.ranks(o, s), want, err_msg=str(kwargs))
+
+
 def test_fov_evaluator_sharded_matches_single(rng):
     o, s = _random_embeds(rng, 32)
     single = FovGalleryEvaluator(query_block=16, gallery_chunk=16).ranks(o, s)

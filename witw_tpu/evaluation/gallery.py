@@ -128,6 +128,7 @@ class FovGalleryEvaluator:
             _paired_distance_batched(
                 jnp.asarray(_true_match_rows(overhead_embeds, true_match)),
                 jnp.asarray(surface_embeds),
+                self.fast_matmul,
             )
         )
 
@@ -138,10 +139,14 @@ class FovGalleryEvaluator:
         n_gal_pad = n_chunks * self.gallery_chunk
         gal = jnp.pad(gal, ((0, n_gal_pad - n_gal), (0, 0), (0, 0), (0, 0)))
         gal_valid = (jnp.arange(n_gal_pad) < n_gal).reshape(n_chunks, self.gallery_chunk)
+        gal_idx = jnp.arange(n_gal_pad, dtype=jnp.int32).reshape(
+            n_chunks, self.gallery_chunk
+        )
         if self.use_pallas:
             chunk_args = (
                 gal.reshape(n_chunks, self.gallery_chunk, *gal.shape[1:]),
                 gal_valid,
+                gal_idx,
             )
             block_fn = _make_block_counter_pallas()
         else:
@@ -149,7 +154,7 @@ class FovGalleryEvaluator:
             wsq = window_sq_norms(gal, sw)  # [Ng, w]
             fo = fo.reshape(n_chunks, self.gallery_chunk, *fo.shape[1:])
             wsq = wsq.reshape(n_chunks, self.gallery_chunk, w)
-            chunk_args = (fo, wsq, gal_valid)
+            chunk_args = (fo, wsq, gal_valid, gal_idx)
             block_fn = _make_block_counter(self.fast_matmul)
 
         # --- query sweep: all blocks in ONE dispatch (lax.map over query
@@ -160,19 +165,23 @@ class FovGalleryEvaluator:
         s_all = s_all.reshape(n_qblocks, qb, *s_all.shape[1:])
         dt_all = _pad_to(np.asarray(d_true, np.float32), n_qblocks * qb)
         dt_all = dt_all.reshape(n_qblocks, qb)
+        tm_all = _true_match_blocks(true_match, n, n_qblocks, qb)
         if self.mesh is not None:
             # Shard the per-block query axis over the whole mesh.
             qsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names, None, None, None))
             dsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names))
             s_arr = jax.device_put(s_all, qsh)
             dt_arr = jax.device_put(dt_all, dsh)
+            tm_arr = jax.device_put(tm_all, dsh)
         else:
             s_arr = jnp.asarray(s_all)
             dt_arr = jnp.asarray(dt_all)
-        counts = _fetch(block_fn(*chunk_args, s_arr, dt_arr)).reshape(-1)[:n]
-        # The true pair always satisfies d <= d_true (equality) in exact
-        # arithmetic; guard against FFT roundoff dropping the self-match.
-        return np.maximum(counts, 1)
+            tm_arr = jnp.asarray(tm_all)
+        counts = _fetch(block_fn(*chunk_args, s_arr, dt_arr, tm_arr)).reshape(-1)[:n]
+        # The true match itself counts UNCONDITIONALLY (reference semantics:
+        # its tie is exact within one distance matrix, cvig_fov.py:552); the
+        # sweep excluded it so kernel-batching roundoff can't drop it.
+        return counts + 1
 
     def _ranks_gallery_sharded(
         self,
@@ -199,6 +208,7 @@ class FovGalleryEvaluator:
             _paired_distance_batched(
                 jnp.asarray(_true_match_rows(overhead_embeds, true_match)),
                 jnp.asarray(surface_embeds),
+                self.fast_matmul,
             )
         )
 
@@ -210,8 +220,10 @@ class FovGalleryEvaluator:
         n_gal_pad = n_dev * per_dev_chunks * chunk
         gal_np = _pad_to(np.asarray(overhead_embeds, np.float32), n_gal_pad)
         valid_np = (np.arange(n_gal_pad) < n_gal)
+        idx_np = np.arange(n_gal_pad, dtype=np.int32)
         gal = jax.device_put(gal_np, gallery_sharding(mesh, 4))
         valid = jax.device_put(valid_np, gallery_sharding(mesh, 1))
+        gal_idx = jax.device_put(idx_np, gallery_sharding(mesh, 1))
         # exposed for tests / introspection: proof the gallery is resident
         # sharded across every mesh device
         self.last_gallery_sharding = gal.sharding
@@ -222,6 +234,7 @@ class FovGalleryEvaluator:
         s_all = s_all.reshape(n_qblocks, qb, *s_all.shape[1:])
         dt_all = _pad_to(np.asarray(d_true, np.float32), n_qblocks * qb)
         dt_all = dt_all.reshape(n_qblocks, qb)
+        tm_all = _true_match_blocks(true_match, n, n_qblocks, qb)
 
         fn = _make_gallery_sharded_counter(
             mesh, sw, chunk, per_dev_chunks, self.fast_matmul
@@ -233,9 +246,11 @@ class FovGalleryEvaluator:
         rsh = replicated_sharding(mesh)
         s_arr = jax.device_put(s_all, rsh)
         dt_arr = jax.device_put(dt_all, rsh)
-        counts = _fetch(fn(gal, valid, s_arr, dt_arr))
+        tm_arr = jax.device_put(tm_all, rsh)
+        counts = _fetch(fn(gal, valid, gal_idx, s_arr, dt_arr, tm_arr))
         counts = counts.reshape(-1)[:n]
-        return np.maximum(counts, 1)
+        # unconditional self-match (see ranks())
+        return counts + 1
 
     def metrics(
         self,
@@ -246,6 +261,19 @@ class FovGalleryEvaluator:
         return metrics_from_ranks(
             self.ranks(overhead_embeds, surface_embeds, true_match)
         )
+
+
+def _true_match_blocks(true_match, n: int, n_qblocks: int, qb: int) -> np.ndarray:
+    """True-match gallery indices per query, padded (-1: matches no gallery
+    item) and reshaped to [n_qblocks, qb] for the sweep counters."""
+    tm = (
+        np.arange(n, dtype=np.int32)
+        if true_match is None
+        else np.asarray(true_match, np.int32)
+    )
+    tm_all = np.full(n_qblocks * qb, -1, np.int32)
+    tm_all[:n] = tm
+    return tm_all.reshape(n_qblocks, qb)
 
 
 def _true_match_rows(overhead_embeds, true_match) -> np.ndarray:
@@ -266,14 +294,18 @@ def _fetch(x) -> np.ndarray:
     return _to_host(x)
 
 
-@functools.partial(jax.jit)
-def _paired_distance_batched(overhead, surface):
+@functools.partial(jax.jit, static_argnums=2)
+def _paired_distance_batched(overhead, surface, fast: bool = False):
     """True-match distances through the SAME fft_matcher arithmetic as the
     sweep (query_fft padding + chord_scores' rsqrt/epsilon guards): the rank
     threshold ``d <= d_true`` must not be crossed by formula-level rounding
-    differences between two implementations of the same math — a self pair
-    dropped at true rank k > 1 would under-report the rank and inflate
-    top-1. (match.distance.paired_chord_distance_fft computes the identical
+    differences between two implementations of the same math. ``fast`` must
+    match the sweep's fast_matmul setting for the same reason: a bf16 sweep
+    compared against an exact threshold would systematically misplace
+    near-tie gallery items. (The SELF pair is immune either way: the sweep
+    excludes it and ranks() counts it unconditionally — kernel-batching
+    f32 accumulation differs at ~1e-7 even between the exact forms, measured.)
+    (match.distance.paired_chord_distance_fft computes the identical
     quantity with divide-vs-rsqrt and no clamps; it remains the oracle
     cross-check in tests.)"""
     w = overhead.shape[2]
@@ -281,44 +313,65 @@ def _paired_distance_batched(overhead, surface):
     fs, s_norm = query_fft(surface, w)
     fo = jnp.fft.rfft(overhead.astype(jnp.float32), axis=2)[:, None]
     wsq = window_sq_norms(overhead, sw)[:, None]
-    d, _ = candidates_vs_queries(fo, wsq, fs, s_norm, w)
+    d, _ = candidates_vs_queries(fo, wsq, fs, s_norm, w, fast)
     return d[:, 0]
 
 
-def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, s_blocks,
-                            d_true_blocks, w: int, fast: bool = False):
-    """Count gallery items with distance <= d_true for every query.
+def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, idx_chunks,
+                            s_blocks, d_true_blocks, tm_blocks, w: int,
+                            fast: bool = False):
+    """Count gallery items OTHER than the true match with distance <= d_true
+    for every query (the true match itself contributes an unconditional +1 in
+    the caller — see ranks()).
 
     fo_chunks: complex [C, G, h, wf, c]; wsq_chunks: [C, G, w];
-    valid_chunks: bool [C, G]; s_blocks: [NB, Q, h, sw, c];
-    d_true_blocks: [NB, Q]. Returns int32 [NB, Q]. Pure (trace-time) function
-    shared by the query-sharded and gallery-sharded counters."""
+    valid_chunks: bool [C, G]; idx_chunks: int32 [C, G] global gallery
+    indices; s_blocks: [NB, Q, h, sw, c]; d_true_blocks: [NB, Q];
+    tm_blocks: int32 [NB, Q] true-match gallery index per query. Returns
+    int32 [NB, Q]. Pure (trace-time) function shared by the query-sharded
+    and gallery-sharded counters."""
 
     def one_qblock(args):
-        s_block, d_true_block = args
+        s_block, d_true_block, tm_block = args
         fs, s_norm = query_fft(s_block, w)  # [Q, h, wf, c], [Q]
 
         def one_chunk(args):
-            fo, wsq, valid = args
+            fo, wsq, valid, idx = args
             # Shared FFT matcher kernel (match/fft_matcher.py); orientation =
             # argmax of the *unnormalized* correlation (cvig_fov.py:312-313).
             d, _ = gallery_vs_queries(fo, wsq, fs, s_norm, w, fast)  # [G, Q]
-            le = (d <= d_true_block[None, :]) & valid[:, None]
+            # The self pair is EXCLUDED here: its sweep distance and d_true
+            # come from differently-batched kernels whose f32 accumulation
+            # orders differ (~1e-7 relative, measured), so comparing them
+            # would make the true match's own tie a roundoff coin flip. The
+            # reference compares within ONE distance matrix where the self
+            # tie is exact (cvig_fov.py:552); the +1 in ranks() reproduces
+            # that exactly.
+            le = (
+                (d <= d_true_block[None, :])
+                & valid[:, None]
+                & (idx[:, None] != tm_block[None, :])
+            )
             return jnp.sum(le.astype(jnp.int32), axis=0)  # [Q]
 
-        per_chunk = jax.lax.map(one_chunk, (fo_chunks, wsq_chunks, valid_chunks))
+        per_chunk = jax.lax.map(
+            one_chunk, (fo_chunks, wsq_chunks, valid_chunks, idx_chunks)
+        )
         return jnp.sum(per_chunk, axis=0)
 
-    return jax.lax.map(one_qblock, (s_blocks, d_true_blocks))  # [NB, Q]
+    return jax.lax.map(
+        one_qblock, (s_blocks, d_true_blocks, tm_blocks)
+    )  # [NB, Q]
 
 
 def _make_block_counter(fast: bool = False):
     @jax.jit
-    def all_counts(fo_chunks, wsq_chunks, valid_chunks, s_blocks, d_true_blocks):
+    def all_counts(fo_chunks, wsq_chunks, valid_chunks, idx_chunks, s_blocks,
+                   d_true_blocks, tm_blocks):
         w = wsq_chunks.shape[-1]
         return _count_blocks_vs_chunks(
-            fo_chunks, wsq_chunks, valid_chunks, s_blocks, d_true_blocks, w,
-            fast,
+            fo_chunks, wsq_chunks, valid_chunks, idx_chunks, s_blocks,
+            d_true_blocks, tm_blocks, w, fast,
         )
 
     return all_counts
@@ -346,22 +399,24 @@ def _make_gallery_sharded_counter(mesh: Mesh, sw: int, chunk: int,
     P_gal4 = P(axes, None, None, None)
     P_gal1 = P(axes)
 
-    def local_sweep(gal_l, valid_l, s_blocks, d_true_blocks):
+    def local_sweep(gal_l, valid_l, idx_l, s_blocks, d_true_blocks, tm_blocks):
         w = gal_l.shape[2]
         fo = jnp.fft.rfft(gal_l, axis=2)  # local shard only
         wsq = window_sq_norms(gal_l, sw)
         fo = fo.reshape(per_dev_chunks, chunk, *fo.shape[1:])
         wsq = wsq.reshape(per_dev_chunks, chunk, w)
         valid_c = valid_l.reshape(per_dev_chunks, chunk)
+        idx_c = idx_l.reshape(per_dev_chunks, chunk)
         counts = _count_blocks_vs_chunks(
-            fo, wsq, valid_c, s_blocks, d_true_blocks, w, fast
+            fo, wsq, valid_c, idx_c, s_blocks, d_true_blocks, tm_blocks, w,
+            fast,
         )
         return jax.lax.psum(counts, axis_name=axes)
 
     sm = _shard_map()(
         local_sweep,
         mesh=mesh,
-        in_specs=(P_gal4, P_gal1, P(), P()),
+        in_specs=(P_gal4, P_gal1, P_gal1, P(), P(), P()),
         out_specs=P(),
     )
     return jax.jit(sm)
@@ -373,20 +428,28 @@ def _make_block_counter_pallas():
     from witw_tpu.ops.pallas.fused_match import fused_chord_distance_nhwc
 
     @jax.jit
-    def all_counts(gal_chunks, valid_chunks, s_blocks, d_true_blocks):
+    def all_counts(gal_chunks, valid_chunks, idx_chunks, s_blocks,
+                   d_true_blocks, tm_blocks):
         def one_qblock(args):
-            s_block, d_true_block = args
+            s_block, d_true_block, tm_block = args
 
             def one_chunk(args):
-                gal, valid = args
+                gal, valid, idx = args
                 d, _ = fused_chord_distance_nhwc(gal, s_block)  # [G, Q]
-                le = (d <= d_true_block[None, :]) & valid[:, None]
+                # self pair excluded; counted unconditionally in ranks()
+                le = (
+                    (d <= d_true_block[None, :])
+                    & valid[:, None]
+                    & (idx[:, None] != tm_block[None, :])
+                )
                 return jnp.sum(le.astype(jnp.int32), axis=0)
 
-            per_chunk = jax.lax.map(one_chunk, (gal_chunks, valid_chunks))
+            per_chunk = jax.lax.map(
+                one_chunk, (gal_chunks, valid_chunks, idx_chunks)
+            )
             return jnp.sum(per_chunk, axis=0)
 
-        return jax.lax.map(one_qblock, (s_blocks, d_true_blocks))
+        return jax.lax.map(one_qblock, (s_blocks, d_true_blocks, tm_blocks))
 
     return all_counts
 
