@@ -58,6 +58,34 @@ class _Pending:
         self.error: Optional[BaseException] = None
 
 
+def _check_index_matches_towers(index, state, int8: bool) -> None:
+    """Fail fast when the index was built at a different precision or by a
+    different checkpoint than the serving towers. Indexes without the
+    recorded keys (hand-built GalleryIndex objects) pass unchecked."""
+    want = "int8" if int8 else "f32"
+    got = index.meta.get("precision")
+    if got is not None and str(got) != want:
+        raise ValueError(
+            f"index was built at precision {got!r} but the daemon would embed "
+            f"queries at {want!r} — rebuild the index with "
+            f"{'--int8' if int8 else 'no --int8'} (or pass "
+            f"allow_mismatch=True / --allow-mismatch to score anyway)"
+        )
+    recorded = index.meta.get("params_sha")
+    if recorded is not None:
+        from witw_tpu.utils.hashing import params_fingerprint
+
+        current = params_fingerprint(state.params["overhead"])
+        if str(recorded) != current:
+            raise ValueError(
+                "index gallery embeddings were produced by a different "
+                f"checkpoint (index params_sha {str(recorded)[:12]}..., "
+                f"serving towers {current[:12]}...) — rebuild the index from "
+                "this checkpoint (or pass allow_mismatch=True / "
+                "--allow-mismatch to score anyway)"
+            )
+
+
 class GeolocateService:
     """Embed-query + top-k search against a resident gallery index.
 
@@ -70,7 +98,8 @@ class GeolocateService:
 
     def __init__(self, index, cfg, state, int8: bool = False,
                  fast: bool = False, max_batch: int = 0,
-                 batch_window_ms: float = 3.0, mesh=None):
+                 batch_window_ms: float = 3.0, mesh=None,
+                 allow_mismatch: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -82,6 +111,14 @@ class GeolocateService:
         d = cfg.data
         pipeline = make_pipeline(cfg)
         self._int8 = int8
+        # The index records which precision and which checkpoint produced its
+        # gallery embeddings (build_index / heatmap --index-cache stamp both).
+        # Scoring queries from a different precision or a retrained tower
+        # against it silently degrades ranking (the same mismatch
+        # heatmap._cache_is_stale rebuilds caches to avoid) — refuse to start
+        # unless explicitly overridden.
+        if not allow_mismatch:
+            _check_index_matches_towers(index, state, int8)
         # bf16 frequency product in the search kernels (opt-in approximation;
         # exact is the default — see match/fft_matcher._freq_product).
         self._fast = fast
@@ -158,13 +195,15 @@ class GeolocateService:
         # funneled through the batcher.
         img = self._decode(image_bytes)
         k = max(1, min(int(k), len(self.index)))
-        if self._mesh is not None:
+        candidates = int(candidates)
+        if self._mesh is not None and candidates <= 0:
             # sharded serving answers from per-shard top-k candidate lists;
             # k beyond the placed width must not silently fall back to a
             # single-device full-gallery search (the gallery was sharded
-            # precisely because one device can't hold it)
+            # precisely because one device can't hold it). Approximate
+            # requests (candidates > 0) never touch the sharded path, so
+            # their k is not limited by the placed width.
             k = min(k, self.index._sharded["max_k"])
-        candidates = int(candidates)
         req = _Pending(img, k, candidates)
         # inline when batching is off or the batcher was close()d — never
         # enqueue into a queue nobody drains. The lifecycle lock closes the
@@ -439,6 +478,10 @@ def main(argv=None):
     parser.add_argument("--batch-window-ms", type=float, default=3.0,
                         help="max wait after the first queued request before "
                              "dispatching a partial batch")
+    parser.add_argument("--allow-mismatch", action="store_true",
+                        help="serve even when the index's recorded precision "
+                             "or weights fingerprint differs from the serving "
+                             "towers (degrades ranking; default: refuse)")
     args = parser.parse_args(argv)
 
     import os
@@ -457,7 +500,8 @@ def main(argv=None):
         mesh = make_mesh()
     service = GeolocateService(index, cfg, state, int8=args.int8,
                                fast=args.fast_eval, max_batch=args.max_batch,
-                               batch_window_ms=args.batch_window_ms, mesh=mesh)
+                               batch_window_ms=args.batch_window_ms, mesh=mesh,
+                               allow_mismatch=args.allow_mismatch)
     server = serve(service, args.port, args.host)
     print(f"serving {len(index)} tiles on http://{args.host}:{args.port}")
     server.serve_forever()
