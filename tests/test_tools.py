@@ -617,3 +617,49 @@ def test_build_index_from_dataset_csv(tmp_path):
     with _pytest.raises(ValueError):
         build_index(csv_path, None, state=state, cfg=cfg,
                     meta_cols=["nope"], verbose=False, batch_size=2)
+
+
+def test_build_index_headerless_integer_meta_cols(tmp_path):
+    """Headerless (CVUSA-schema) CSVs have integer RangeIndex columns: a
+    numeric --meta-cols spec like '2:x' addresses them positionally (named
+    specs can never match and must fail with the positional hint)."""
+    import dataclasses
+
+    import jax
+    import pytest as _pytest
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.data import write_synthetic_dataset
+    from witw_tpu.tools.build_index import build_index
+    from witw_tpu.train.pipeline import make_pipeline
+
+    csv_path = write_synthetic_dataset(
+        str(tmp_path / "data"), n=4, schema="cvusa",
+        surface_hw=(32, 64), overhead_hw=(32, 32),
+    )
+    # append a numeric coordinate column (position 2) to the headerless CSV
+    with open(csv_path) as f:
+        lines = f.read().splitlines()
+    with open(csv_path, "w") as f:
+        for i, line in enumerate(lines):
+            f.write(f"{line},{100.0 + i}\n")
+
+    cfg = fov_experiment(dataset="cvusa", fov=70)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, surface_height=32, surface_width_max=64,
+            overhead_size=32),
+    )
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    index = build_index(
+        csv_path, None, dataset="cvusa", batch_size=2,
+        meta_cols=["2:x"], state=state, cfg=cfg, verbose=False,
+    )
+    np.testing.assert_allclose(index.meta["x"], 100.0 + np.arange(4))
+
+    # named specs cannot match a RangeIndex; the error teaches the fix
+    with _pytest.raises(ValueError, match="integer positions"):
+        build_index(csv_path, None, dataset="cvusa", batch_size=2,
+                    meta_cols=["lon:x"], state=state, cfg=cfg, verbose=False)

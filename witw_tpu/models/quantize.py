@@ -542,6 +542,47 @@ def static_int8_saturation(sq, x, circ_padding: bool = False) -> float:
     return hits / max(total, 1)
 
 
+# Calibration-coverage guard threshold: warn when more than this fraction of
+# requantized activations clip at +-127 on a held-out batch (the calibration
+# sample did not span the input distribution; VERDICT r2 weak #4).
+SATURATION_WARN_FRACTION = 0.01
+
+
+def calibrate_overhead_span(tower_params, read_item, n, sample_size, preprocess):
+    """Grid/gallery-SPANNING static-int8 calibration for an overhead tower.
+
+    Samples ``sample_size`` items evenly over [0, n) (first-batch-only
+    calibration silently clipped hotter later items), reads each with
+    ``read_item(i) -> HWC f32``, calibrates via ``preprocess`` (normalize +
+    polar), and returns ``(sq_params, items)`` where ``items`` maps sampled
+    index -> the already-read array so embed loops don't re-read them.
+    Shared by the heatmap sweep and the index builder — the two int8 gallery
+    entry points must keep one coverage contract."""
+    calib_idx = np.unique(np.linspace(0, n - 1, min(n, sample_size)).astype(int))
+    calib = np.stack([read_item(int(i)) for i in calib_idx])
+    items = dict(zip(calib_idx.tolist(), calib))
+    polar_c = preprocess(jnp.asarray(calib))
+    sq = quantize_tower_static(tower_params, [np.asarray(polar_c)], True)
+    return sq, items
+
+
+def check_saturation(sq, x, circ_padding: bool = True,
+                     context: str = "input") -> float:
+    """Measure clip fraction on a held-out batch and warn above the
+    SATURATION_WARN_FRACTION threshold. Returns the fraction (recorded into
+    index metadata by callers)."""
+    frac = static_int8_saturation(sq, x, circ_padding)
+    if frac > SATURATION_WARN_FRACTION:
+        import warnings
+
+        warnings.warn(
+            f"int8 activation saturation {frac:.2%} exceeds "
+            f"{SATURATION_WARN_FRACTION:.2%} — calibration sample may not "
+            f"span the {context} distribution; scores may clip"
+        )
+    return frac
+
+
 def preprocess_static_int8(data_cfg, sq_s, sq_o, batch, rng, corner_major="k"):
     """Serving-path preprocess mirroring FovPipeline._preprocess in int8.
 

@@ -11,7 +11,8 @@ its serve path re-embeds every tile on every sweep
 (tools/heatmap/heatmap.py:159-168).
 
 Run: ``python -m witw_tpu.tools.build_index --csv test.csv --out gallery.npz
---dataset cvusa --fov 70 [--int8] [--meta-cols lon,lat]``
+--dataset witw --fov 70 [--int8] [--meta-cols longitude:x,latitude:y]``
+(headerless CVUSA CSVs address extra columns by position: ``2:x,3:y``)
 """
 
 from __future__ import annotations
@@ -56,7 +57,6 @@ def build_index(
     from witw_tpu.data.csv_registry import read_pair_paths
     from witw_tpu.data.loader import decode_image, resize_host
     from witw_tpu.evaluation.index import GalleryIndex
-    from witw_tpu.tools.heatmap import SATURATION_WARN_FRACTION
     from witw_tpu.train.checkpoint import Checkpointer
     from witw_tpu.train.pipeline import make_pipeline
     from witw_tpu.utils.hashing import params_fingerprint
@@ -102,16 +102,13 @@ def build_index(
     sat_frac = None
     calib_tiles = {}
     if int8:
-        from witw_tpu.models.quantize import quantize_tower_static
+        from witw_tpu.models.quantize import calibrate_overhead_span
 
-        calib_idx = np.unique(
-            np.linspace(0, n - 1, min(n, batch_size)).astype(int)
-        )
-        calib = np.stack([read_tile(overhead_paths[i]) for i in calib_idx])
-        calib_tiles = dict(zip(calib_idx.tolist(), calib))
-        polar_c = _preprocess(jnp.asarray(calib))
-        sq_box[0] = quantize_tower_static(
-            state.params["overhead"], [np.asarray(polar_c)], True
+        # gallery-spanning calibration sample (same coverage contract as the
+        # heatmap sweep); sampled tiles are reused in the embed loop
+        sq_box[0], calib_tiles = calibrate_overhead_span(
+            state.params["overhead"], lambda i: read_tile(overhead_paths[i]),
+            n, batch_size, _preprocess,
         )
 
     buf = np.zeros((batch_size, d.overhead_size, d.overhead_size, d.channels),
@@ -124,19 +121,12 @@ def build_index(
             buf[j] = read_tile(overhead_paths[start + j]) if tile is None else tile
         buf[stop - start:] = 0.0
         if int8 and sat_frac is None:
-            from witw_tpu.models.quantize import static_int8_saturation
+            from witw_tpu.models.quantize import check_saturation
 
-            sat_frac = static_int8_saturation(
-                sq_box[0], _preprocess(jnp.asarray(buf)), True
+            sat_frac = check_saturation(
+                sq_box[0], _preprocess(jnp.asarray(buf)), True,
+                context="gallery",
             )
-            if sat_frac > SATURATION_WARN_FRACTION:
-                import warnings
-
-                warnings.warn(
-                    f"int8 activation saturation {sat_frac:.2%} exceeds "
-                    f"{SATURATION_WARN_FRACTION:.2%} — calibration sample may "
-                    "not span the gallery distribution; scores may clip"
-                )
         parts.append(
             np.asarray(embed(state.params, jnp.asarray(buf)))[: stop - start]
         )
@@ -155,10 +145,20 @@ def build_index(
             col, _, dst = spec.partition(":")
             dst = dst or col
             if col not in frame.columns:
-                raise ValueError(
-                    f"--meta-cols column {col!r} not in CSV "
-                    f"(has: {list(frame.columns)})"
-                )
+                # Headerless schemas (CVUSA) have integer RangeIndex columns:
+                # a numeric spec like "2:x" addresses them positionally.
+                try:
+                    icol = int(col)
+                except ValueError:
+                    icol = None
+                if icol is not None and icol in frame.columns:
+                    col = icol
+                else:
+                    raise ValueError(
+                        f"--meta-cols column {col!r} not in CSV "
+                        f"(has: {list(frame.columns)}; headerless CSVs use "
+                        f"integer positions, e.g. '2:x')"
+                    )
             vals = frame[col].to_numpy()
             meta[dst] = (
                 vals.astype(np.float64)

@@ -28,9 +28,14 @@ from witw_tpu.tools.cities import strip_filename
 from witw_tpu.tools.geotiff import GeoTiff, resample, write_geotiff_u8
 
 
-# int8 calibration-coverage guard: warn when more than this fraction of
-# requantized activations clip at +-127 on a real tile batch.
-SATURATION_WARN_FRACTION = 0.01
+def __getattr__(name):
+    # Single source for the int8 calibration-coverage threshold without
+    # importing jax (via models.quantize) at CLI-module import time.
+    if name == "SATURATION_WARN_FRACTION":
+        from witw_tpu.models.quantize import SATURATION_WARN_FRACTION
+
+        return SATURATION_WARN_FRACTION
+    raise AttributeError(name)
 
 
 def window_grid(
@@ -95,7 +100,12 @@ def sweep(
 
     ``int8`` embeds with the static-int8 towers (models/quantize.py;
     ~1.3x faster on v5e, rank agreement with f32 test-gated), calibrated on
-    the query photo + a grid-spanning tile sample.
+    the query photo(s) + a grid-spanning tile sample.
+
+    ``photo_path`` may be a list of paths: every query is embedded in one
+    batch and scored against the SAME tile gallery in one device sweep (the
+    reference re-runs the whole script — re-embedding every tile — per
+    photo, heatmap.py:131-177). Multi-photo output gains a ``photo`` column.
 
     ``cfg``: optional ExperimentConfig overriding the standard WITW FOV
     preset — reduced geometries for tests (XLA:CPU runs int8 convs at
@@ -135,9 +145,15 @@ def sweep(
                            "int8" if int8 else "f32", params_sha):
             cached_index = None  # stale: grid, precision, or weights changed
 
-    # --- query photo ---
-    photo = decode_image(photo_path)
-    photo = resize_host(photo, d.surface_height, d.surface_width)[None]
+    # --- query photo(s): one embed batch, one sweep for all of them ---
+    photo_paths = (
+        [photo_path] if isinstance(photo_path, (str, os.PathLike))
+        else list(photo_path)
+    )
+    photo = np.stack([
+        resize_host(decode_image(p), d.surface_height, d.surface_width)
+        for p in photo_paths
+    ])
 
     # --- embed ---
     # int8: surface tower calibrates on the query photo (always needed);
@@ -200,22 +216,14 @@ def sweep(
         sat_frac = None
         calib_tiles = {}
         if int8:
-            from witw_tpu.models.quantize import (
-                quantize_tower_static,
-                static_int8_saturation,
-            )
+            from witw_tpu.models.quantize import calibrate_overhead_span
 
-            # calibration sample spanning the whole grid (VERDICT r2 weak #4)
-            calib_idx = np.unique(
-                np.linspace(0, n - 1, min(n, batch_size)).astype(int)
-            )
-            calib = np.stack([read_tile(windows[i]) for i in calib_idx])
-            # reuse in the embed loop — don't re-read + re-resample the
-            # same GeoTIFF windows
-            calib_tiles = dict(zip(calib_idx.tolist(), calib))
-            polar_c = _preprocess_overhead(jnp.asarray(calib))
-            sq_overhead_box[0] = quantize_tower_static(
-                state.params["overhead"], [np.asarray(polar_c)], True
+            # calibration sample spanning the whole grid (VERDICT r2 weak #4);
+            # calib_tiles are reused in the embed loop — don't re-read +
+            # re-resample the same GeoTIFF windows
+            sq_overhead_box[0], calib_tiles = calibrate_overhead_span(
+                state.params["overhead"], lambda i: read_tile(windows[i]),
+                n, batch_size, _preprocess_overhead,
             )
 
         buf = np.zeros(
@@ -231,18 +239,12 @@ def sweep(
                 # calibration-coverage guard: clip fraction on a real (non-
                 # calibration-only) batch; hot tiles outside the sample show
                 # up here instead of silently saturating
-                sat_frac = static_int8_saturation(
-                    sq_overhead_box[0], _preprocess_overhead(jnp.asarray(buf)),
-                    True,
-                )
-                if sat_frac > SATURATION_WARN_FRACTION:
-                    import warnings
+                from witw_tpu.models.quantize import check_saturation
 
-                    warnings.warn(
-                        f"int8 activation saturation {sat_frac:.2%} exceeds "
-                        f"{SATURATION_WARN_FRACTION:.2%} — calibration sample "
-                        "may not span the tile distribution; scores may clip"
-                    )
+                sat_frac = check_saturation(
+                    sq_overhead_box[0], _preprocess_overhead(jnp.asarray(buf)),
+                    True, context="tile",
+                )
             o_parts.append(
                 np.asarray(embed_overhead(state.params, jnp.asarray(buf)))[: stop - start]
             )
@@ -269,24 +271,25 @@ def sweep(
     else:
         distances, orientations = index.score_all(s_emb, gallery_chunk=2048,
                                                   fast=fast)
-    distances = distances[:, 0]
-    orientations = orientations[:, 0]
     out_width = index.embeds.shape[2]
-    orientation_deg = orientations * 360.0 / out_width - 180.0
-    scores = np.exp(10.0 * (1.0 - distances))
-
-    frame = pd.DataFrame(
-        {
-            "x": centers_e,
-            "y": centers_n,
-            "orientation": orientation_deg,
-            "dissimilarity": distances,
-            "score": scores,
-        }
-    )
+    frames = []
+    for q, path in enumerate(photo_paths):
+        frame = pd.DataFrame(
+            {
+                "x": centers_e,
+                "y": centers_n,
+                "orientation": orientations[:, q] * 360.0 / out_width - 180.0,
+                "dissimilarity": distances[:, q],
+                "score": np.exp(10.0 * (1.0 - distances[:, q])),
+            }
+        )
+        if len(photo_paths) > 1:
+            frame.insert(0, "photo", path)
+        frames.append(frame)
+    frame = pd.concat(frames, ignore_index=True)
     frame.to_csv(csv_path, index=False)
     if verbose:
-        print(f"swept {n} tiles -> {csv_path}")
+        print(f"swept {n} tiles x {len(photo_paths)} photo(s) -> {csv_path}")
     return frame
 
 
@@ -315,7 +318,10 @@ def main(argv=None):
     parser.add_argument("-o", "--offset", type=float, default=56.25)
     parser.add_argument("-f", "--fov", type=int, default=70)
     parser.add_argument("-s", "--satdir", default="/local_data/geoloc/sat/utm")
-    parser.add_argument("-p", "--photopath", default="img.jpg")
+    parser.add_argument("-p", "--photopath", nargs="+", default=["img.jpg"],
+                        help="query photo(s); several sweep against the same "
+                             "embedded tile gallery in one pass (multi-photo "
+                             "CSV gains a 'photo' column)")
     parser.add_argument("-c", "--csvpath", default="./geomatch.csv")
     parser.add_argument("-l", "--layerpath", default="./satlayer.tiff")
     parser.add_argument("-i", "--image", action="store_true")
