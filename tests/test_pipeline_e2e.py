@@ -163,6 +163,25 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
                      index_cache=cache, verbose=False,
                      mesh=make_mesh(n_data=8))
     np.testing.assert_allclose(frame_sh["score"], frame["score"], rtol=1e-5)
+    # multi-photo sweep: one embed batch + one gallery pass for all queries
+    # (reference reruns the whole script per photo); rows gain a 'photo'
+    # column and identical photos produce identical rows
+    photo2 = str(tmp_path / "img2.jpg")
+    Image.fromarray(rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+                    ).save(photo2)
+    frame_mq = sweep(sat_path, [photo_path, photo_path, photo2],
+                     str(tmp_path / "match_mq.csv"), bounds,
+                     edge=225.0, offset=112.5, fov=70, state=state,
+                     index_cache=cache, verbose=False)
+    assert list(frame_mq.columns)[0] == "photo"
+    assert len(frame_mq) == 3 * len(frame)
+    a = frame_mq[frame_mq.index < len(frame)].reset_index(drop=True)
+    b = frame_mq[(frame_mq.index >= len(frame))
+                 & (frame_mq.index < 2 * len(frame))].reset_index(drop=True)
+    np.testing.assert_array_equal(a["score"], b["score"])
+    # batch embedding matches the single-query sweep (same tower math; bf16
+    # batch-layout rounding only)
+    np.testing.assert_allclose(a["score"], frame["score"], rtol=5e-2)
     np.testing.assert_array_equal(frame_sh["orientation"], frame["orientation"])
     # the cache records tower precision so an --int8 rerun treats it as stale
     # (staleness logic unit-tested in tests/test_tools.py)
@@ -575,3 +594,75 @@ def test_serving_daemon_sharded_gallery(rng):
     r_big = sharded.geolocate(buf.getvalue(), k=10)
     assert len(r_big) == 4
     assert [x["tile"] for x in r_big] == [x["tile"] for x in r_plain]
+
+
+def test_serving_refuses_mismatched_index(rng):
+    """The daemon refuses to score queries against an index built at a
+    different precision or by a different checkpoint (the mismatch
+    heatmap._cache_is_stale rebuilds caches to avoid) unless explicitly
+    overridden; indexes without the recorded keys pass unchecked."""
+    import jax
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.tools.serve import GeolocateService
+    from witw_tpu.train.pipeline import make_pipeline
+    from witw_tpu.utils.hashing import params_fingerprint
+
+    cfg = fov_experiment(dataset="witw", fov=70)
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+    embeds = rng.standard_normal((4, 4, 64, 16)).astype(np.float32)
+    sha = params_fingerprint(state.params["overhead"])
+
+    # precision mismatch: int8-built index + f32 daemon (and vice versa)
+    idx8 = GalleryIndex(embeds, meta={"precision": "int8", "params_sha": sha})
+    with pytest.raises(ValueError, match="precision"):
+        GeolocateService(idx8, cfg, state, int8=False)
+    idxf = GalleryIndex(embeds, meta={"precision": "f32", "params_sha": sha})
+    with pytest.raises(ValueError, match="precision"):
+        GeolocateService(idxf, cfg, state, int8=True)
+
+    # checkpoint mismatch: fingerprint from different weights
+    stale = GalleryIndex(
+        embeds, meta={"precision": "f32", "params_sha": "0" * 64})
+    with pytest.raises(ValueError, match="checkpoint"):
+        GeolocateService(stale, cfg, state)
+
+    # matching meta, bare index, and the explicit override all construct
+    GeolocateService(idxf, cfg, state).close()
+    GeolocateService(GalleryIndex(embeds), cfg, state).close()
+    GeolocateService(stale, cfg, state, allow_mismatch=True).close()
+
+
+def test_serving_sharded_k_clamp_spares_approx(rng):
+    """The per-shard top-k width limit applies only to requests that take the
+    sharded exact path; approximate requests (candidates > 0) never touch it
+    and keep their full k."""
+    import io
+
+    import jax
+    from PIL import Image
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.parallel import make_mesh
+    from witw_tpu.tools.serve import GeolocateService
+    from witw_tpu.train.pipeline import make_pipeline
+
+    cfg = fov_experiment(dataset="witw", fov=70)
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+    index = GalleryIndex(rng.standard_normal((16, 4, 64, 16)).astype(np.float32))
+    mesh = make_mesh(n_data=8)
+    service = GeolocateService(index, cfg, state, mesh=mesh)
+    # force a narrow placed width so the clamp is observable below n
+    service.index._sharded["max_k"] = 2
+
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (80, 160, 3), dtype=np.uint8)).save(
+        buf, format="JPEG")
+    # exact sharded request: clamped to the placed width
+    assert len(service.geolocate(buf.getvalue(), k=6)) == 2
+    # approximate request: full k served (single-device two-stage path)
+    assert len(service.geolocate(buf.getvalue(), k=6, candidates=8)) == 6
