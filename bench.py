@@ -108,13 +108,26 @@ def main(int8: bool = True):
             distance, _ = chord_distance(o_emb, s_emb, corr)
             return distance
 
-    @jax.jit
-    def scan_steps(params, surf, over):
+    def scan_steps_fn(params, surf, over):
         def body(carry, xs):
             s, o = xs
             return carry, embed_match(params, {"surface": s, "overhead": o}).sum()
         _, outs = jax.lax.scan(body, 0, (surf, over))
         return outs
+
+    # Scoped-VMEM 32 MiB: +1.3-1.7% over the default, twice-confirmed on the
+    # serving graph (exp/r3_compiler_options.py; 64m/96m LOSE — the optimum
+    # is narrow). XLA_FLAGS cannot carry TPU compiler flags through the axon
+    # tunnel (client parser aborts); per-computation compiler_options are
+    # forwarded to and validated by the remote compiler. Fall back to the
+    # default compile wherever the option is unsupported (e.g. CPU runs).
+    lowered = jax.jit(scan_steps_fn).lower(state.params, surf, over)
+    try:
+        scan_steps = lowered.compile(
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"}
+        )
+    except Exception:
+        scan_steps = lowered.compile()
 
     @jax.jit
     def empty_dispatch(surf):

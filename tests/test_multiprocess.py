@@ -85,7 +85,9 @@ def test_two_process_distributed_matches_single(tmp_path):
     outs = []
     for i, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=600)
+            # generous bound: two fresh jax imports + Gloo handshakes run
+            # 10x slower when the suite shares one CPU core with other work
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
