@@ -86,7 +86,7 @@ def main(int8: bool = True):
             {"surface": surf[0][:8], "overhead": over[0][:8]},
             jax.random.PRNGKey(0), train=False,
         )
-        sq_s, sq_o = quantize_pipeline_static(pipeline, state, [(s_in, p_in)])
+        sq_s, sq_o = quantize_pipeline_static(state, [(s_in, p_in)])
 
         def embed_match(params, batch):
             # int8-first preprocessing: normalize+quantize raw inputs, run

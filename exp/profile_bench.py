@@ -61,7 +61,7 @@ def build(int8: bool, batch: int, steps: int):
         s_in, p_in = pipeline._preprocess(
             {"surface": surf[0][:8], "overhead": over[0][:8]}, jax.random.PRNGKey(0), train=False
         )
-        sq_s, sq_o = quantize_pipeline_static(pipeline, state, [(s_in, p_in)])
+        sq_s, sq_o = quantize_pipeline_static(state, [(s_in, p_in)])
 
         def embed_match(params, batch_d):
             surface_q, polar_q = preprocess_static_int8(

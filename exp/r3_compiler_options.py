@@ -76,7 +76,7 @@ def main():
         {"surface": surf[0][:8], "overhead": over[0][:8]},
         jax.random.PRNGKey(0), train=False,
     )
-    sq_s, sq_o = quantize_pipeline_static(pipeline, state, [(s_in, p_in)])
+    sq_s, sq_o = quantize_pipeline_static(state, [(s_in, p_in)])
 
     def embed_match(params, batch):
         surface_q, polar_q = preprocess_static_int8(

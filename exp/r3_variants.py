@@ -84,7 +84,7 @@ def run(name, opts):
         jax.random.PRNGKey(0), train=False,
     )
     sq_s, sq_o = quantize_pipeline_static(
-        pipeline, state, [(s_in, p_in)],
+        state, [(s_in, p_in)],
         first_conv_bf16=opts.get("fcbf16", False),
     )
     corner_major = opts.get("corner_major", "k")

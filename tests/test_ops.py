@@ -115,14 +115,47 @@ def test_quantized_rotation_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(quantized_rotation(jnp.asarray(x), 2)), twice)
 
 
-def test_rotate_nearest_quarter_turns_match_quantized(rng):
-    """Arbitrary-angle rotation at 90-degree multiples must reproduce the
-    exact transpose/flip rotations (even-size grid maps onto itself)."""
-    x = rng.standard_normal((8, 8, 3)).astype(np.float32)
+def test_rotate_nearest_direction_torchvision(rng):
+    """rotate_nearest follows the LIVE reference path's direction:
+    torchvision rotate is counter-clockwise as displayed (PIL semantics;
+    reference SyncedRotation, cvig_baseline.py:142-143). A marker at the top
+    must land on the LEFT after +90. The reference's own quantized_rotation
+    compositions rotate the OPPOSITE way (its docstring is wrong; the class
+    is dead code there) — quantized_rotation here stays bit-exact to those
+    compositions, so +90 continuous == factor-3 quantized."""
+    x = np.zeros((5, 5, 1), np.float32)
+    x[0, 2, 0] = 1.0  # top-middle
+    r = np.asarray(rotate_nearest(jnp.asarray(x), 90.0))
+    assert r[2, 0, 0] == 1.0 and r.sum() == 1.0  # left-middle: CCW
+    q = np.asarray(quantized_rotation(jnp.asarray(x), 1))
+    assert q[2, 4, 0] == 1.0  # right-middle: the reference's flips are CW
+    # at 90-degree multiples the continuous rotation reproduces the exact
+    # transpose/flip grids, with the direction inversion accounted for
+    y = rng.standard_normal((8, 8, 3)).astype(np.float32)
     for factor in range(4):
-        got = np.asarray(rotate_nearest(jnp.asarray(x), factor * 90.0))
-        want = np.asarray(quantized_rotation(jnp.asarray(x), factor))
+        got = np.asarray(rotate_nearest(jnp.asarray(y), factor * 90.0))
+        want = np.asarray(quantized_rotation(jnp.asarray(y), (4 - factor) % 4))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_quantized_rotation_matches_reference_flips(rng):
+    """Bit-exact transcription of the reference's transpose/flip
+    compositions (cvig_baseline.py:115-127), all four factors, via a torch
+    re-execution of the reference code."""
+    import torch
+
+    x = rng.standard_normal((6, 6, 2)).astype(np.float32)
+    xt = torch.tensor(x.transpose(2, 0, 1))  # CHW like the reference
+    for f in range(4):
+        ref = xt
+        if f % 4 == 1:
+            ref = ref.transpose(-2, -1).flip(-1)
+        elif f % 4 == 2:
+            ref = ref.flip(-2).flip(-1)
+        elif f % 4 == 3:
+            ref = ref.transpose(-2, -1).flip(-2)
+        got = np.asarray(quantized_rotation(jnp.asarray(x), f))
+        np.testing.assert_array_equal(got, ref.numpy().transpose(1, 2, 0))
 
 
 def test_synced_rotation_consistency(rng):

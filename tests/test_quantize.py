@@ -167,7 +167,7 @@ def test_int8_first_preprocess_matches_f32_preprocess(rng):
         "overhead": rng.uniform(0, 255, (4, 64, 64, 3)).astype(np.float32),
     }
     s_in, p_in = pipe._preprocess(batch, jax.random.PRNGKey(0), train=False)
-    sq_s, sq_o = quantize_pipeline_static(pipe, state, [(s_in, p_in)])
+    sq_s, sq_o = quantize_pipeline_static(state, [(s_in, p_in)])
     sq8, pq8 = preprocess_static_int8(d, sq_s, sq_o, batch, jax.random.PRNGKey(0))
 
     s_ref = np.asarray(quantize_input(s_in, sq_s["input_scale"]), np.int32)
@@ -246,7 +246,7 @@ def test_int8_first_preprocess_semantic_5ch(rng):
     batch["surface"][..., 3:] /= 255.0
     batch["overhead"][..., 3:] /= 255.0
     s_in, p_in = pipe._preprocess(batch, jax.random.PRNGKey(0), train=False)
-    sq_s, sq_o = quantize_pipeline_static(pipe, state, [(s_in, p_in)])
+    sq_s, sq_o = quantize_pipeline_static(state, [(s_in, p_in)])
     sq8, pq8 = preprocess_static_int8(d, sq_s, sq_o, batch, jax.random.PRNGKey(0))
 
     assert sq8.shape[-1] == 5 and pq8.shape[-1] == 5
@@ -254,3 +254,22 @@ def test_int8_first_preprocess_semantic_5ch(rng):
     p_ref = np.asarray(quantize_input(p_in, sq_o["input_scale"]), np.int32)
     assert np.array_equal(np.asarray(sq8, np.int32), s_ref)
     assert np.max(np.abs(np.asarray(pq8, np.int32) - p_ref)) <= 1
+
+
+def test_pool_slices_odd_dims_match_reduce_window(rng):
+    """_pool_slices must reproduce reduce_window's VALID floor semantics on
+    ODD spatial dims (drop the trailing row/col), not crash on mismatched
+    slice shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from witw_tpu.models.quantize import _pool_slices
+
+    for h, w in [(5, 7), (6, 5), (5, 6), (8, 8)]:
+        x = jnp.asarray(
+            rng.integers(-127, 128, (2, h, w, 3)).astype(np.int8))
+        want = jax.lax.reduce_window(
+            x, np.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            "VALID")
+        got = _pool_slices(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -364,7 +364,10 @@ def _count_blocks_vs_chunks(fo_chunks, wsq_chunks, valid_chunks, idx_chunks,
     )  # [NB, Q]
 
 
+@functools.lru_cache(maxsize=4)
 def _make_block_counter(fast: bool = False):
+    # memoized: a fresh jit wrapper per ranks() call would retrace (and
+    # re-look-up the compile cache for) the whole sweep on every eval
     @jax.jit
     def all_counts(fo_chunks, wsq_chunks, valid_chunks, idx_chunks, s_blocks,
                    d_true_blocks, tm_blocks):
@@ -422,6 +425,7 @@ def _make_gallery_sharded_counter(mesh: Mesh, sw: int, chunk: int,
     return jax.jit(sm)
 
 
+@functools.lru_cache(maxsize=1)
 def _make_block_counter_pallas():
     """Counter using the fused Pallas correlation+distance kernel
     (witw_tpu.ops.pallas.fused_match) — no [G, Q, W] tensor in HBM."""

@@ -68,7 +68,12 @@ def chord_distance(
     s = surface_embed.astype(jnp.float32)
     s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))  # [Bs]
 
-    cos = corr_max / (crop_norm * s_norm[None, :])
+    # Degenerate all-zero windows/queries must yield a finite distance (2.0),
+    # not NaN gradients poisoning the train step — same contract as the
+    # serving kernel's guards (match/fft_matcher.chord_scores); the clamps
+    # are inert for any non-degenerate input.
+    cos = corr_max / (jnp.maximum(crop_norm, 1e-10) *
+                      jnp.maximum(s_norm, 1e-10)[None, :])
     return 2.0 * (1.0 - cos), orientation
 
 
@@ -96,7 +101,7 @@ def paired_chord_distance(
     wsq = window_sq_norms(o, sw)
     crop_norm = jnp.sqrt(jnp.take_along_axis(wsq, orientation[:, None], axis=1))[:, 0]
     s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
-    cos = corr_max / (crop_norm * s_norm)
+    cos = corr_max / jnp.maximum(crop_norm * s_norm, 1e-20)
     return 2.0 * (1.0 - cos), orientation
 
 
@@ -105,9 +110,11 @@ def paired_chord_distance_fft(
     surface_embed: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
     """FFT form of :func:`paired_chord_distance`: O(N * W log W) compute and
-    O(N * h * W * c) memory — no circular-window materialization. Used for
-    the evaluator's true-match pass so the full-gallery sweep and the
-    threshold share the same arithmetic."""
+    O(N * h * W * c) memory — no circular-window materialization. Kept as
+    the independent-arithmetic oracle cross-check in tests; the evaluator's
+    true-match pass computes its threshold through match/fft_matcher
+    (query_fft + chord_scores) instead, the SAME kernel arithmetic as its
+    gallery sweep (see evaluation/gallery._paired_distance_batched)."""
     o = overhead_embed.astype(jnp.float32)
     s = surface_embed.astype(jnp.float32)
     w = o.shape[2]
@@ -125,7 +132,7 @@ def paired_chord_distance_fft(
     wsq = window_sq_norms(o, sw)
     crop_norm = jnp.sqrt(jnp.take_along_axis(wsq, orientation[:, None], axis=1))[:, 0]
     s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))
-    cos = corr_max / (crop_norm * s_norm)
+    cos = corr_max / jnp.maximum(crop_norm * s_norm, 1e-20)
     return 2.0 * (1.0 - cos), orientation
 
 

@@ -26,6 +26,9 @@ def query_fft(s: jax.Array, w: int) -> Tuple[jax.Array, jax.Array]:
     [Q, h, wf, c], L2 norms [Q]) for gallery width ``w``."""
     s = s.astype(jnp.float32)
     sw = s.shape[2]
+    assert sw <= w, (sw, w)  # mirror circular_correlation's guard: a query
+    # wider than the gallery would otherwise surface as an opaque einsum
+    # shape error deep inside _freq_product
     s_pad = jnp.pad(s, ((0, 0), (0, 0), (0, w - sw), (0, 0))) if sw < w else s
     fs = jnp.fft.rfft(s_pad, axis=2)
     s_norm = jnp.sqrt(jnp.sum(s * s, axis=(1, 2, 3)))

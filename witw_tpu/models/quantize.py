@@ -123,8 +123,8 @@ def quantized_fov_forward(
     return y.astype(jnp.float32)
 
 
-def quantize_pipeline(pipeline, state):
-    """Quantize both towers of a trained FovPipeline; returns
+def quantize_pipeline(state):
+    """Quantize both towers of a trained FovPipeline state; returns
     (q_surface, q_overhead) param trees for quantized_fov_forward."""
     params = jax.tree.map(np.asarray, state.params)
     return (
@@ -281,10 +281,14 @@ def w2d_kernel(k: np.ndarray, f: int) -> np.ndarray:
 
 def _pool_slices(h):
     """2x2/s2 max-pool as an elementwise max of four strided slices —
-    candidate replacement for reduce_window (same math; measured variant)."""
+    candidate replacement for reduce_window (same math; measured variant).
+    Odd trailing rows/cols are dropped like reduce_window's VALID padding
+    (torch MaxPool2d floor semantics) — the four slices must agree in shape."""
+    h2 = 2 * (h.shape[1] // 2)
+    w2 = 2 * (h.shape[2] // 2)
     return jnp.maximum(
-        jnp.maximum(h[:, ::2, ::2], h[:, 1::2, ::2]),
-        jnp.maximum(h[:, ::2, 1::2], h[:, 1::2, 1::2]),
+        jnp.maximum(h[:, 0:h2:2, 0:w2:2], h[:, 1:h2:2, 0:w2:2]),
+        jnp.maximum(h[:, 0:h2:2, 1:w2:2], h[:, 1:h2:2, 1:w2:2]),
     )
 
 
@@ -461,10 +465,12 @@ def quantize_tower_static(
     )
 
 
-def quantize_pipeline_static(pipeline, state, calib_batches, first_conv_bf16=False):
+def quantize_pipeline_static(state, calib_batches, first_conv_bf16=False):
     """Calibrate + fold both towers; returns (sq_surface, sq_overhead) for
     quantized_fov_forward_static. ``calib_batches``: iterable of
-    (surface_norm, polar_norm) f32 NHWC pairs (preprocessed)."""
+    (surface_norm, polar_norm) f32 NHWC pairs (preprocessed). Depends only on
+    the trained params — circular padding per tower is structural (surface
+    zero-pad, overhead wrap) and hardcoded accordingly."""
     params = jax.tree.map(np.asarray, state.params)
     calib_batches = list(calib_batches)  # a generator must survive both uses
     surf_b = [np.asarray(s) for s, _ in calib_batches]

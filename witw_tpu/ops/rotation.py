@@ -32,7 +32,15 @@ def horizontal_shift(img: jax.Array, degrees: jax.Array) -> jax.Array:
 
 def quantized_rotation(img: jax.Array, factor: int) -> jax.Array:
     """Rotate by factor * 90 degrees using transpose/flips (exactly the
-    reference's compositions, cvig_baseline.py:115-127). HWC or NHWC."""
+    reference's compositions, cvig_baseline.py:115-127). HWC or NHWC.
+
+    Direction note: despite the reference docstring's "counterclockwise",
+    these compositions rotate the displayed image CLOCKWISE for factor=1
+    (top-left lands top-right) — the OPPOSITE of torchvision's rotate used
+    by the reference's live SyncedRotation path. The quantized transform is
+    dead code in the reference (never composed into a loader); it is kept
+    here bit-exact to the reference's compositions, while rotate_nearest
+    matches the live torchvision (counter-clockwise) semantics."""
     h_ax = img.ndim - 3
     w_ax = img.ndim - 2
     f = factor % 4
@@ -71,9 +79,12 @@ def _rotate_one(img: jax.Array, degrees: jax.Array) -> jax.Array:
     )
     dy = ii - cy
     dx = jj - cx
-    # Output pixel samples the input at the inverse rotation.
-    src_x = cos_t * dx + sin_t * dy + cx
-    src_y = -sin_t * dx + cos_t * dy + cy
+    # Output pixel samples the input at the inverse rotation. For the
+    # torchvision-visual COUNTER-clockwise rotation (y points down in image
+    # coords), the forward map is R(-theta) in math convention, so the
+    # inverse sampling map is R(+theta).
+    src_x = cos_t * dx - sin_t * dy + cx
+    src_y = sin_t * dx + cos_t * dy + cy
     xi = jnp.round(src_x).astype(jnp.int32)
     yi = jnp.round(src_y).astype(jnp.int32)
     valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
