@@ -71,12 +71,19 @@ def main():
         ).save(buf, format="JPEG")
         photos.append(buf.getvalue())
 
-    for max_batch in (0, 8):
+    # (max_batch, batch_workers, warmup) — workers=1 without warmup measured
+    # 6.8 vs 44.2 req/s unbatched (2026-08-18): a single batcher serializes
+    # every group behind the previous dispatch+fetch round trip, and
+    # first-hit bucket compiles land mid-benchmark.
+    for max_batch, workers, warm in ((0, 1, True), (8, 1, False),
+                                     (8, 2, True), (8, 4, True)):
         service = GeolocateService(index, cfg, state, max_batch=max_batch,
-                                   batch_window_ms=5.0)
+                                   batch_window_ms=5.0, batch_workers=workers)
+        if warm:
+            service.warmup(k=5)
         rate = bench(service, photos)
-        print(f"max_batch={max_batch}: {rate:.1f} req/s "
-              f"(stats {service.stats})", flush=True)
+        print(f"max_batch={max_batch} workers={workers} warmup={warm}: "
+              f"{rate:.1f} req/s (stats {service.stats})", flush=True)
         service.close()
 
 

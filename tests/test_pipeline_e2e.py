@@ -541,7 +541,7 @@ def test_serving_request_microbatching(rng):
             )
     finally:
         batched.close()
-        assert batched._worker is None  # close() is clean + idempotent
+        assert batched._workers == []  # close() is clean + idempotent
         batched.close()
 
 

@@ -85,7 +85,10 @@ class FovGalleryEvaluator:
         an opt-in APPROXIMATION (near-threshold ranks / near-tie argmax
         orientations can flip; rank agreement on planted-structure data is
         test-gated, mirroring the int8 serving path's contract). The exact
-        default is the parity path."""
+        default is the parity path — and on TPU v5e it is also the FASTER
+        path at CVUSA eval scale (15.0 s vs 16.1 s measured, NOTES.md round
+        3b): the flag only helps on backends where bf16 matmul rate dominates
+        the concat/convert overhead (e.g. CPU)."""
         self.mesh = mesh
         self.query_block = query_block
         self.gallery_chunk = gallery_chunk

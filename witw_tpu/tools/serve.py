@@ -25,11 +25,15 @@ one compiled shape regardless of gallery size.
 
 ``--max-batch N`` enables request micro-batching: concurrent requests that
 arrive within a short window are embedded and searched as ONE device
-dispatch. Each dispatch costs fixed overhead (25-50 ms through a remote
-tunnel) and a batch-1 embed leaves the MXU nearly idle, so batching raises
-concurrent throughput close to the serving bench's batched rate. Image
-decode/resize stays on the request threads (parallel host work); batches are
-padded to power-of-two sizes so at most log2(N)+1 graph shapes ever compile.
+dispatch (a batch-1 embed leaves the MXU nearly idle). Image decode/resize
+stays on the request threads (parallel host work); batches are padded to
+power-of-two sizes so at most log2(N)+1 graph shapes ever compile. Two
+things make batching actually pay (measured, NOTES.md round 3b): per-bucket
+kernels are pre-compiled at startup (``warmup()``; first-hit compiles are
+30s-class through a remote-compile tunnel), and ``--batch-workers >= 2``
+lets group round trips pipeline — a single batcher serializes every group
+behind the previous dispatch+fetch, which measured 6.5x SLOWER than
+unbatched under the axon tunnel's high per-dispatch latency.
 """
 
 from __future__ import annotations
@@ -99,7 +103,7 @@ class GeolocateService:
     def __init__(self, index, cfg, state, int8: bool = False,
                  fast: bool = False, max_batch: int = 0,
                  batch_window_ms: float = 3.0, mesh=None,
-                 allow_mismatch: bool = False):
+                 allow_mismatch: bool = False, batch_workers: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -155,14 +159,25 @@ class GeolocateService:
         self._stats_lock = threading.Lock()
         self._lifecycle = threading.Lock()  # geolocate enqueue vs close()
         self._queue: Optional[queue.Queue] = None
-        self._worker: Optional[threading.Thread] = None
+        self._workers: list = []
         if self.max_batch >= 2:
             self._window = batch_window_ms / 1000.0
             self._queue = queue.Queue()
-            self._worker = threading.Thread(
-                target=self._batch_loop, daemon=True, name="geolocate-batcher"
-            )
-            self._worker.start()
+            # More than one batcher lets group dispatches PIPELINE: with a
+            # single worker every group waits out the previous group's full
+            # dispatch+fetch round trip (expensive through a remote tunnel),
+            # while unbatched requests overlap freely on their own threads —
+            # measured 6.5x slower than unbatched at workers=1 (NOTES.md
+            # round 3b). Under load each worker still fills its group.
+            self._workers = [
+                threading.Thread(
+                    target=self._batch_loop, daemon=True,
+                    name=f"geolocate-batcher-{i}",
+                )
+                for i in range(max(1, int(batch_workers)))
+            ]
+            for t in self._workers:
+                t.start()
 
     def _embed(self, params, x):
         if not self._int8:
@@ -209,7 +224,7 @@ class GeolocateService:
         # enqueue into a queue nobody drains. The lifecycle lock closes the
         # check-then-put race against close().
         with self._lifecycle:
-            batching = self._queue is not None and self._worker is not None
+            batching = self._queue is not None and bool(self._workers)
             if batching:
                 self._queue.put(req)
         if not batching:
@@ -221,21 +236,22 @@ class GeolocateService:
         return req.result
 
     def close(self) -> None:
-        """Stop the batcher thread (idempotent; no-op without batching).
+        """Stop the batcher threads (idempotent; no-op without batching).
         In-flight requests finish; requests racing the shutdown are served
         inline by their own thread (see geolocate)."""
         with self._lifecycle:
-            worker, self._worker = self._worker, None
-            if worker is not None:
+            workers, self._workers = self._workers, []
+            for _ in workers:
                 self._queue.put(None)
-        if worker is None:
+        if not workers:
             return
-        worker.join(timeout=30)
-        if worker.is_alive():
-            # a long dispatch is still draining the queue; it owns the
+        for worker in workers:
+            worker.join(timeout=30)
+        if any(w.is_alive() for w in workers):
+            # a long dispatch is still draining the queue; it owns a
             # sentinel and will exit on it — don't race it for the queue
             return
-        # serve anything that slipped in behind the sentinel (enqueued
+        # serve anything that slipped in behind the sentinels (enqueued
         # before close() took the lock)
         while True:
             try:
@@ -244,6 +260,54 @@ class GeolocateService:
                 break
             if req is not None:
                 self._run_group([req])
+
+    def warmup(self, k: int = 5) -> None:
+        """Pre-compile the embed + exact-search kernels for every power-of-two
+        batch bucket up to max_batch (at the given k) so the first client to
+        hit a new group size doesn't stall on a device compile mid-request —
+        measured 30s-class through a remote-compile tunnel. Drives the REAL
+        group path (padding, bucketing, search) with zero images; stats are
+        restored afterwards so /stats reflects only client traffic.
+
+        With --int8 the embed compile is deferred anyway (activation scales
+        calibrate on the first real query image, not on a zero probe), so
+        only the search kernels warm there."""
+        import numpy as np
+
+        d = self.cfg.data
+        img = np.zeros((d.surface_height, d.surface_width, 3), np.float32)
+        buckets, b = [], 1
+        top = max(1, self.max_batch)
+        while b <= top:
+            buckets.append(b)
+            b *= 2
+        with self._stats_lock:
+            before = dict(self.stats)
+        skip_embed = self._int8 and self._sq is None
+        for b in buckets:
+            group = [_Pending(img, k, 0) for _ in range(b)]
+            if skip_embed:
+                # warm only the search kernels with a direct dummy-embed call
+                # (embed at calibration-time scales would pin them to zeros)
+                emb = np.zeros((b,) + tuple(self.index.embeds.shape[1:3])
+                               + (self.index.embeds.shape[3],), np.float32)
+                emb = emb[:, :, : d.surface_width // 8]
+                kk = max(1, min(int(k), len(self.index)))
+                if self._mesh is not None:
+                    # mirror _run_group's k bucketing on the sharded path
+                    kk = min(kk, self.index._sharded["max_k"])
+                    kk = min(1 << (kk - 1).bit_length(),
+                             self.index._sharded["max_k"])
+                    self.index.search_sharded(emb, k=kk, fast=self._fast)
+                else:
+                    self.index.search(emb, k=kk, fast=self._fast)
+            else:
+                self._run_group(group)
+                for r in group:
+                    if r.error is not None:
+                        raise r.error
+        with self._stats_lock:
+            self.stats.update(before)
 
     def _batch_loop(self) -> None:
         while True:
@@ -482,6 +546,14 @@ def main(argv=None):
                         help="serve even when the index's recorded precision "
                              "or weights fingerprint differs from the serving "
                              "towers (degrades ranking; default: refuse)")
+    parser.add_argument("--batch-workers", type=int, default=2,
+                        help="concurrent batch-dispatch threads (>=2 lets "
+                             "group round trips pipeline; one worker "
+                             "serializes them — slow through remote tunnels)")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip pre-compiling the per-bucket embed/search "
+                             "kernels at startup (first requests then stall "
+                             "on device compiles)")
     args = parser.parse_args(argv)
 
     import os
@@ -501,7 +573,10 @@ def main(argv=None):
     service = GeolocateService(index, cfg, state, int8=args.int8,
                                fast=args.fast_eval, max_batch=args.max_batch,
                                batch_window_ms=args.batch_window_ms, mesh=mesh,
-                               allow_mismatch=args.allow_mismatch)
+                               allow_mismatch=args.allow_mismatch,
+                               batch_workers=args.batch_workers)
+    if not args.no_warmup:
+        service.warmup()
     server = serve(service, args.port, args.host)
     print(f"serving {len(index)} tiles on http://{args.host}:{args.port}")
     server.serve_forever()
