@@ -112,6 +112,23 @@ def main(process_id: int, num_processes: int, port: int, workdir: str) -> None:
     # --- multi-host checkpoint: every process enters the allgather ---
     ckpt = Checkpointer(os.path.join(workdir, "ckpt"))
     ckpt.save("best", state, {"val_loss": loss, "step": 1})
+
+    # --- restore_latest broadcast: PER-HOST local checkpoint dirs, so only
+    # process 0 ever sees the file — every process must still come back with
+    # process 0's state (broadcast_one_to_all inside restore_latest), or a
+    # resumed pod trains with divergent params ---
+    ckpt_local = Checkpointer(os.path.join(workdir, f"ckpt_local_{process_id}"))
+    ckpt_local.save_step(state, 7, {"epoch": 3})
+    ckpt_local.wait()
+    state_np = jax.tree.map(np.asarray, state)
+    restored_l = ckpt_local.restore_latest(jax.tree.map(np.zeros_like, state_np))
+    assert restored_l is not None, "restore_latest must find p0's checkpoint"
+    latest_max = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        state_np, restored_l,
+    )))
+    assert latest_max == 0.0, f"broadcast state diverged: {latest_max}"
+
     if process_id == 0:
         restored = ckpt.restore("best", jax.tree.map(np.asarray, state))
         diffs = jax.tree.map(
@@ -129,6 +146,7 @@ def main(process_id: int, num_processes: int, port: int, workdir: str) -> None:
                     "search_i": np.asarray(top_i).tolist(),
                     "search_d": np.asarray(top_d).tolist(),
                     "ckpt_roundtrip_max_abs_diff": roundtrip_max,
+                    "restore_latest_broadcast_max_abs_diff": latest_max,
                     "process_count": jax.process_count(),
                 },
                 f,

@@ -118,5 +118,7 @@ def test_two_process_distributed_matches_single(tmp_path):
         np.asarray(result["search_d"]), ref_top_d, rtol=1e-5, atol=1e-6)
     # checkpoint roundtrip through process_allgather is bit-exact
     assert result["ckpt_roundtrip_max_abs_diff"] == 0.0
+    # restore_latest from a PER-HOST dir broadcast process-0's state exactly
+    assert result["restore_latest_broadcast_max_abs_diff"] == 0.0
     # the checkpoint file itself landed (written by process 0 only)
     assert (tmp_path / "ckpt" / "best.msgpack").exists()

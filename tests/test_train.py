@@ -126,6 +126,19 @@ def test_train_resume(tmp_path):
     # Second invocation resumes from epoch 1 and runs just epoch 2.
     state2 = run_train(cfg, pipeline, train_loader, val_loader, num_epochs=2, verbose=False)
     assert int(state2.step) == int(state1.step) + 2
+    # Resume is EXACT: per-epoch rngs are folded from the epoch number (not a
+    # restart-sensitive sequential stream), so crash+resume equals an
+    # uninterrupted run bitwise.
+    import os
+
+    cfg_fresh = tiny_fov_cfg(tmp_path / "fresh")
+    os.makedirs(tmp_path / "fresh", exist_ok=True)
+    state3 = run_train(cfg_fresh, make_pipeline(cfg_fresh), train_loader,
+                       val_loader, num_epochs=2, verbose=False)
+    max_diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        state2.params, state3.params)))
+    assert max_diff == 0.0, max_diff
 
 
 def test_frozen_backbone_params_not_updated(tmp_path):
@@ -167,6 +180,18 @@ def test_baseline_train_smoke(tmp_path):
         state, metrics = pipeline.train_step(state, data, rng)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 2
+    # The EVAL path must work too (regression: flax apply(mutable=[]) on the
+    # train=False branch returned (out, {}) tuples that fed the loss —
+    # crashing every baseline val phase / test() / embed pass; mutable must
+    # be False when frozen). run_phase(train=False) is the val-loop surface.
+    ev = pipeline.eval_step(state, data, rng)
+    assert np.isfinite(float(ev["loss"]))
+    _, val_loss, _ = run_phase(pipeline, state, loader, rng, False, 0,
+                               verbose=False)
+    assert np.isfinite(val_loss)
+    # and the full retrieval test() (embed_step -> euclidean ranks)
+    m = run_test(cfg, pipeline, loader, state=state, verbose=False)
+    assert m["locations"] == 4 and np.isfinite(m["avg_rank"])
 
 
 def test_baseline_padded_rows_do_not_shift_batchnorm(tmp_path):

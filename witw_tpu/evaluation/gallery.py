@@ -471,32 +471,35 @@ def euclidean_ranks(
     distances are rank-equivalent to the reference's sqrt distances; ties
     compare identically."""
     g = jnp.asarray(gallery_embeds, jnp.float32)
-    q = jnp.asarray(query_embeds, jnp.float32)
+    q = np.asarray(query_embeds, np.float32)
     n = q.shape[0]
     # true match of query i is gallery row i (the reference's paired test
     # sets); an asymmetric gallery would silently read clamped rows
     assert g.shape[0] == n, (g.shape[0], n)
 
-    @jax.jit
-    def block_counts(q_block, start):
-        g_sq = jnp.sum(g * g, axis=1)
-        q_sq = jnp.sum(q_block * q_block, axis=1)
-        cross = g @ q_block.T
-        d2 = g_sq[:, None] + q_sq[None, :] - 2.0 * cross  # [N, Qb]
-        # True-match distance read off the same matrix so the self pair
-        # compares exactly equal (ties count, reference cvig_baseline.py:460).
-        qb = q_block.shape[0]
-        rows = jnp.clip(start + jnp.arange(qb), 0, n - 1)
-        d_true = d2[rows, jnp.arange(qb)]
-        return jnp.sum((d2 <= d_true[None, :]).astype(jnp.int32), axis=0)
-
+    g_sq = jnp.sum(g * g, axis=1)  # once, not per block
     counts = np.zeros(n, dtype=np.int32)
     for start in range(0, n, block):
         stop = min(start + block, n)
-        qb = _pad_to(np.asarray(q[start:stop]), block)
-        c = block_counts(jnp.asarray(qb), start)
+        qb = _pad_to(q[start:stop], block)
+        rows = np.clip(start + np.arange(block), 0, n - 1)
+        c = _euclidean_block_counts(g, g_sq, jnp.asarray(qb), jnp.asarray(rows))
         counts[start:stop] = np.asarray(c)[: stop - start]
     return counts
+
+
+@jax.jit
+def _euclidean_block_counts(g, g_sq, q_block, rows):
+    """One query block's rank counts under squared Euclidean distance.
+    Module-level jit: a per-call closure would recapture the gallery and
+    recompile on every euclidean_ranks() invocation."""
+    q_sq = jnp.sum(q_block * q_block, axis=1)
+    cross = g @ q_block.T
+    d2 = g_sq[:, None] + q_sq[None, :] - 2.0 * cross  # [N, Qb]
+    # True-match distance read off the same matrix so the self pair compares
+    # exactly equal (ties count, reference cvig_baseline.py:460).
+    d_true = d2[rows, jnp.arange(q_block.shape[0])]
+    return jnp.sum((d2 <= d_true[None, :]).astype(jnp.int32), axis=0)
 
 
 def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:

@@ -41,6 +41,13 @@ _rerank_distances = partial(jax.jit, static_argnames=("w", "fast"))(
         fo, wsq, fs, s_norm, w, fast
     )
 )
+# Approximate-search prefilter: best pooled-cosine over the S window shifts
+# of one gallery chunk (search_approx chunks the gallery axis around this).
+_pooled_sims = jax.jit(
+    lambda sp, pooled_block: jnp.max(
+        jnp.einsum("qd,nsd->qns", sp, pooled_block), axis=2
+    )
+)
 
 
 class GalleryIndex:
@@ -61,14 +68,21 @@ class GalleryIndex:
 
     # ---- persistence ----
 
+    @staticmethod
+    def _npz_path(path: str) -> str:
+        # np.savez_compressed APPENDS '.npz' to extension-less paths; load()
+        # and exists() checks must see the same name or an extension-less
+        # --index-cache silently never hits (the gallery re-embeds every run)
+        return path if path.endswith(".npz") else path + ".npz"
+
     def save(self, path: str) -> None:
         arrays = {"embeds": self.embeds}
         arrays.update({f"meta_{k}": v for k, v in self.meta.items()})
-        np.savez_compressed(path, **arrays)
+        np.savez_compressed(self._npz_path(path), **arrays)
 
     @classmethod
     def load(cls, path: str) -> "GalleryIndex":
-        data = np.load(path)
+        data = np.load(cls._npz_path(path))
         meta = {
             k[len("meta_"):]: data[k] for k in data.files if k.startswith("meta_")
         }
@@ -236,7 +250,23 @@ class GalleryIndex:
         sp = jnp.mean(s, axis=2).reshape(q, -1)
         sp = sp / jnp.maximum(jnp.linalg.norm(sp, axis=1, keepdims=True), 1e-10)
         pooled = self._pooled(sw)  # [N, S, hc]
-        sims = np.asarray(jnp.max(jnp.einsum("qd,nsd->qns", sp, pooled), axis=2))
+        # Chunk the gallery axis: the [Q, chunk, S] similarity transient is
+        # capped at ~64 MB — a single whole-gallery einsum would materialize
+        # Q*N*S floats (gigabytes at the 100k-tile scale this path targets),
+        # defeating the bounded-memory design of every other path here.
+        s_shifts = pooled.shape[1]
+        chunk_n = int(min(n, max(256, (1 << 24) // max(1, q * s_shifts))))
+        sims = np.empty((q, n), np.float32)
+        for n0 in range(0, n, chunk_n):
+            n1 = min(n0 + chunk_n, n)
+            block = pooled[n0:n1]
+            if n1 - n0 < chunk_n:  # pad the tail: one compiled shape
+                block = jnp.pad(
+                    block, ((0, chunk_n - (n1 - n0)), (0, 0), (0, 0))
+                )
+            sims[:, n0:n1] = np.asarray(
+                _pooled_sims(sp, block)
+            )[:, : n1 - n0]
         cand = np.argpartition(-sims, m - 1, axis=1)[:, :m]  # [Q, M]
 
         fs_all, s_norm_all = query_fft(s, w)

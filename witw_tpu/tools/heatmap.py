@@ -139,6 +139,10 @@ def sweep(
     # built by a different checkpoint is stale even with an identical grid.
     params_sha = params_fingerprint(state.params["overhead"])
     cached_index = None
+    if index_cache:
+        # GalleryIndex normalizes extension-less paths to .npz; the existence
+        # probe must look at the same file
+        index_cache = GalleryIndex._npz_path(index_cache)
     if index_cache and os.path.exists(index_cache):
         cached_index = GalleryIndex.load(index_cache)
         if _cache_is_stale(cached_index, len(windows), centers_e,

@@ -157,9 +157,35 @@ class Checkpointer:
         return None if m is None else m.get("val_loss")
 
     def restore_latest(self, target: Any) -> Optional[Any]:
-        if not self.exists("latest"):
+        """Resume point. Multi-process: only process 0 is guaranteed to SEE
+        the checkpoint (it is the only writer — per-host local directories
+        are a supported layout), so whether a checkpoint exists and its
+        contents are both broadcast from process 0; every process returns
+        the same restored state (or None) and the epoch loops stay in sync."""
+        if jax.process_count() <= 1:
+            if not self.exists("latest"):
+                return None
+            return self.restore("latest", target)
+        from jax.experimental import multihost_utils
+
+        found = bool(
+            multihost_utils.broadcast_one_to_all(
+                np.asarray(
+                    jax.process_index() == 0 and self.exists("latest"),
+                    np.bool_,
+                )
+            )
+        )
+        if not found:
             return None
-        return self.restore("latest", target)
+        # process 0 reads the file; everyone else contributes its (identical
+        # tree-structure) init target so the broadcast can carry the values
+        local = (
+            self.restore("latest", target)
+            if jax.process_index() == 0
+            else target
+        )
+        return multihost_utils.broadcast_one_to_all(local)
 
     def _gc(self) -> None:
         if jax.process_index() != 0:

@@ -95,6 +95,28 @@ def run_phase(
     running_count = 0
     losses = []
     timer = None
+    # TensorBoard x-axis is the GLOBAL step epoch*len(loader)+batch like the
+    # reference (cvig_fov.py:469-471) — a bare per-epoch batch index would
+    # collide across epochs and zigzag the chart.
+    try:
+        step_base = epoch * len(loader)
+    except TypeError:
+        step_base = 0
+
+    def drain(loss_val, c, bi, tail: bool):
+        nonlocal running_loss, running_count
+        loss_f = float(loss_val)
+        running_loss += loss_f * c
+        running_count += c
+        if verbose and (tail or bi % log_every == 0):
+            print(
+                f"epoch = {epoch + 1} {phase}, iter = {bi}, "
+                f"count = {running_count}, loss = {loss_f:.4f}"
+            )
+        if writer is not None:
+            writer.scalar(f"{phase} loss", running_loss / running_count,
+                          step_base + bi)
+
     for batch_i, (batch, count) in enumerate(device_prefetch(loader, mesh)):
         if timer is None:
             timer = StepTimer(items_per_step=count)
@@ -114,26 +136,12 @@ def run_phase(
         # Drain the async loss queue with one step of lag so logging never
         # blocks the device.
         while len(losses) > 1:
-            loss_val, c, bi = losses.pop(0)
-            loss_f = float(loss_val)
-            running_loss += loss_f * c
-            running_count += c
-            if verbose and bi % log_every == 0:
-                print(
-                    f"epoch = {epoch + 1} {phase}, iter = {bi}, "
-                    f"count = {running_count}, loss = {loss_f:.4f}"
-                )
-            if writer is not None:
-                writer.scalar(f"{phase} loss", running_loss / running_count, bi)
-    for loss_val, c, bi in losses:
-        loss_f = float(loss_val)
-        running_loss += loss_f * c
-        running_count += c
-        if verbose:
-            print(
-                f"epoch = {epoch + 1} {phase}, iter = {bi}, "
-                f"count = {running_count}, loss = {loss_f:.4f}"
-            )
+            drain(*losses.pop(0), tail=False)
+    for entry in losses:
+        # same logging contract for the final (lagged) batch — verbose tail
+        # always prints like before, but the writer must see it too or every
+        # epoch's loss stream is missing its last point
+        drain(*entry, tail=True)
     avg = running_loss / max(running_count, 1)
     if timer is not None and writer is not None:
         stats = timer.summary()
@@ -196,11 +204,33 @@ def train(
 
     try:
         best_loss = checkpointer.best_val_loss()
+        if jax.process_count() > 1:
+            # Only process 0 is guaranteed to see the checkpoint files (it is
+            # the only writer): epoch/best-loss metadata must be process-0's
+            # view everywhere, or the epoch loops desync and a divergent
+            # "new best" decision deadlocks save()'s allgather.
+            from jax.experimental import multihost_utils
+
+            start_epoch, best_loss = (
+                multihost_utils.broadcast_one_to_all(
+                    (np.asarray(start_epoch, np.int32),
+                     np.asarray(np.inf if best_loss is None else best_loss,
+                                np.float64))
+                )
+            )
+            start_epoch = int(start_epoch)
+            best_loss = None if not np.isfinite(best_loss) else float(best_loss)
         epochs = num_epochs if num_epochs is not None else cfg.train.num_epochs
         for epoch in range(start_epoch, epochs):
             if verbose:
                 print(f"Epoch {epoch + 1}, {time.ctime()}")
-            rng, tr_rng, val_rng = jax.random.split(rng, 3)
+            # Per-epoch keys are FOLDED from the epoch number, not drawn from
+            # a sequential stream: a resumed run at epoch k must see epoch
+            # k's augmentation rngs, not replay epoch 0's (a sequential
+            # split-per-epoch stream restarts from the base seed after
+            # restore, and also shifts with writer-dependent extra splits).
+            epoch_rng = jax.random.fold_in(rng, epoch)
+            tr_rng, val_rng, dump_rng = jax.random.split(epoch_rng, 3)
             state, _, _ = run_phase(
                 pipeline, state, train_loader, tr_rng, True, epoch,
                 writer, cfg.train.log_every_steps, mesh, verbose,
@@ -217,7 +247,6 @@ def train(
                 writer, cfg.train.log_every_steps, mesh, verbose,
             )
             if writer is not None:
-                rng, dump_rng = jax.random.split(rng)
                 dump_val_embeddings(pipeline, state, val_loader, writer, epoch, dump_rng)
             checkpointer.save_step(state, int(state.step), {"epoch": epoch + 1})
             if best_loss is None or val_loss < best_loss:

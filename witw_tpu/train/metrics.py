@@ -83,10 +83,13 @@ class MetricWriter:
 
                     arr = np.asarray(label_imgs, np.float32)
                     label_img = torch.tensor(np.transpose(arr, (0, 3, 1, 2)))
-                except ImportError:
+                except Exception as err:  # broken installs raise OSError
+                    # etc. from `import torch`, not just ImportError — none
+                    # of them may kill the training loop
                     warnings.warn(
                         "torch unavailable: projector embedding written "
-                        "without label images", stacklevel=2,
+                        f"without label images ({type(err).__name__})",
+                        stacklevel=2,
                     )
             self._tb.add_embedding(
                 vectors, label_img=label_img, tag=tag, global_step=step

@@ -255,7 +255,10 @@ class BaselinePipeline:
 
     def _forward_loss(self, params, batch_stats, batch, rng, train: bool):
         surface, overhead = self._preprocess(batch, rng, train)
-        mutable = ["batch_stats"] if train else []
+        # mutable=False (not []) when frozen: an empty COLLECTION still makes
+        # flax return an (out, vars) tuple, which silently fed tuples into
+        # the loss on the eval path
+        mutable = ["batch_stats"] if train else False
         # Padded straggler rows (device_prefetch) must not contaminate
         # train-mode BatchNorm statistics — mask them out of the stats.
         valid = batch.get("valid")
