@@ -666,3 +666,38 @@ def test_serving_sharded_k_clamp_spares_approx(rng):
     assert len(service.geolocate(buf.getvalue(), k=6)) == 2
     # approximate request: full k served (single-device two-stage path)
     assert len(service.geolocate(buf.getvalue(), k=6, candidates=8)) == 6
+
+
+def test_serving_warmup_restores_stats_and_serves(rng):
+    """warmup() drives the real group path for every batch bucket (including
+    the padded top bucket of a non-power-of-two max_batch) and each k bucket,
+    restores /stats to pre-warmup values, and the service then answers
+    normally."""
+    import io
+
+    import jax
+    from PIL import Image
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.tools.serve import GeolocateService
+
+    cfg = fov_experiment(dataset="witw", fov=70)
+    from witw_tpu.train.pipeline import make_pipeline
+
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+    index = GalleryIndex(rng.standard_normal((8, 4, 64, 16)).astype(np.float32))
+    service = GeolocateService(index, cfg, state, max_batch=3)  # pads to 4
+    try:
+        service.warmup(ks=(2,))
+        assert service.stats["requests"] == 0  # restored
+        assert service.stats["dispatches"] == 0
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 255, (80, 160, 3), dtype=np.uint8)
+                        ).save(buf, format="JPEG")
+        results = service.geolocate(buf.getvalue(), k=2)
+        assert len(results) == 2
+        assert service.stats["requests"] == 1
+    finally:
+        service.close()

@@ -76,7 +76,7 @@ def _cache_is_stale(index, n_windows, centers_e, want_precision,
 
 def sweep(
     sat_path: str,
-    photo_path: str,
+    photo_path,  # str or Sequence[str] — see docstring (multi-photo sweep)
     csv_path: str,
     bounds: Sequence[float],
     edge: float = 225.0,

@@ -103,7 +103,8 @@ class GeolocateService:
     def __init__(self, index, cfg, state, int8: bool = False,
                  fast: bool = False, max_batch: int = 0,
                  batch_window_ms: float = 3.0, mesh=None,
-                 allow_mismatch: bool = False, batch_workers: int = 1):
+                 allow_mismatch: bool = False, batch_workers: int = 2,
+                 max_candidates: int = 65536):
         import jax
         import jax.numpy as jnp
 
@@ -151,6 +152,9 @@ class GeolocateService:
         self._params = state.params
 
         self.max_batch = int(max_batch)
+        # upper bound on any request's approximate-search rerank pool: the
+        # rerank gathers that many gallery items onto one device per query
+        self.max_candidates = int(max_candidates)
         self.started_at = time.time()
         self.stats = {"requests": 0, "dispatches": 0, "errors": 0,
                       "exact_searches": 0, "approx_searches": 0}
@@ -261,13 +265,28 @@ class GeolocateService:
             if req is not None:
                 self._run_group([req])
 
-    def warmup(self, k: int = 5) -> None:
+    def _k_bucket(self, k_max: int) -> int:
+        """The k the search kernels actually compile for: clamped to the
+        gallery (and the sharded placed width), rounded up to a power of two
+        so client k variety maps onto at most log2(max) compiled shapes.
+        ONE implementation shared by _run_group and warmup — hand-mirrored
+        copies of this arithmetic drift."""
+        cap = len(self.index)
+        if self._mesh is not None:
+            cap = min(cap, self.index._sharded["max_k"])
+        kb = max(1, min(int(k_max), cap))
+        return min(1 << (kb - 1).bit_length(), cap)
+
+    def warmup(self, ks=(1, 5, 10)) -> None:
         """Pre-compile the embed + exact-search kernels for every power-of-two
-        batch bucket up to max_batch (at the given k) so the first client to
-        hit a new group size doesn't stall on a device compile mid-request —
-        measured 30s-class through a remote-compile tunnel. Drives the REAL
-        group path (padding, bucketing, search) with zero images; stats are
-        restored afterwards so /stats reflects only client traffic.
+        batch bucket up to max_batch (including the top PADDED bucket when
+        max_batch is not itself a power of two), at each distinct k bucket of
+        ``ks``, so the first client to hit a new shape doesn't stall on a
+        device compile mid-request — measured 30s-class through a
+        remote-compile tunnel. Drives the REAL group path (padding,
+        bucketing, search) with zero images. Call BEFORE serving traffic;
+        stats are restored afterwards (exception-safe) so /stats reflects
+        only client traffic.
 
         With --int8 the embed compile is deferred anyway (activation scales
         calibrate on the first real query image, not on a zero probe), so
@@ -276,38 +295,41 @@ class GeolocateService:
 
         d = self.cfg.data
         img = np.zeros((d.surface_height, d.surface_width, 3), np.float32)
-        buckets, b = [], 1
         top = max(1, self.max_batch)
+        top = 1 << (top - 1).bit_length()  # groups pad up to this bucket
+        buckets, b = [], 1
         while b <= top:
             buckets.append(b)
             b *= 2
+        k_buckets = sorted({self._k_bucket(k) for k in ks})
         with self._stats_lock:
             before = dict(self.stats)
-        skip_embed = self._int8 and self._sq is None
-        for b in buckets:
-            group = [_Pending(img, k, 0) for _ in range(b)]
-            if skip_embed:
-                # warm only the search kernels with a direct dummy-embed call
-                # (embed at calibration-time scales would pin them to zeros)
-                emb = np.zeros((b,) + tuple(self.index.embeds.shape[1:3])
-                               + (self.index.embeds.shape[3],), np.float32)
-                emb = emb[:, :, : d.surface_width // 8]
-                kk = max(1, min(int(k), len(self.index)))
-                if self._mesh is not None:
-                    # mirror _run_group's k bucketing on the sharded path
-                    kk = min(kk, self.index._sharded["max_k"])
-                    kk = min(1 << (kk - 1).bit_length(),
-                             self.index._sharded["max_k"])
-                    self.index.search_sharded(emb, k=kk, fast=self._fast)
-                else:
-                    self.index.search(emb, k=kk, fast=self._fast)
-            else:
-                self._run_group(group)
-                for r in group:
-                    if r.error is not None:
-                        raise r.error
-        with self._stats_lock:
-            self.stats.update(before)
+        try:
+            skip_embed = self._int8 and self._sq is None
+            for b in buckets:
+                for kb in k_buckets:
+                    if skip_embed:
+                        # warm only the search kernels with a dummy embedding
+                        # (embedding at calibration-time scales would pin the
+                        # int8 scales to zeros)
+                        emb = np.zeros(
+                            (b,) + tuple(self.index.embeds.shape[1:3])
+                            + (self.index.embeds.shape[3],), np.float32)
+                        emb = emb[:, :, : d.surface_width // 8]
+                        if self._mesh is not None:
+                            self.index.search_sharded(emb, k=kb,
+                                                      fast=self._fast)
+                        else:
+                            self.index.search(emb, k=kb, fast=self._fast)
+                    else:
+                        group = [_Pending(img, kb, 0) for _ in range(b)]
+                        self._run_group(group)
+                        for r in group:
+                            if r.error is not None:
+                                raise r.error
+        finally:
+            with self._stats_lock:
+                self.stats.update(before)
 
     def _batch_loop(self) -> None:
         while True:
@@ -369,24 +391,29 @@ class GeolocateService:
                 if approx:
                     cand = max(max(group[i].candidates for i in rows), k_max)
                     # bucket the pool size (rerank compiles per M); a larger
-                    # pool than requested only improves candidate recall
-                    cand = min(1 << (cand - 1).bit_length(), len(self.index))
+                    # pool than requested only improves candidate recall.
+                    # Cap it: the rerank materializes a [query_block, M, ...]
+                    # gallery slice on ONE device, so an unbounded client
+                    # ?candidates= could pull the whole (possibly sharded-
+                    # because-it-doesn't-fit) gallery onto a single chip.
+                    cand = min(1 << (cand - 1).bit_length(), len(self.index),
+                               self.max_candidates)
                     idx, dist, orient = self.index.search_approx(
-                        embs, k=k_max, candidates=cand, fast=self._fast
+                        embs, k=min(k_max, cand), candidates=cand,
+                        fast=self._fast
                     )
                 elif self._mesh is not None:
-                    # k_max <= max_k (geolocate clamps). Bucket k to a power
-                    # of two: the sharded top-k compiles per k and client k
-                    # values vary; results are ascending so each request
-                    # slices its own k.
-                    kb = min(1 << (k_max - 1).bit_length(),
-                             self.index._sharded["max_k"])
+                    # k buckets: the sharded top-k compiles per k and client
+                    # k values vary; results are ascending so each request
+                    # slices its own k (k_max <= max_k — geolocate clamps).
                     idx, dist, orient = self.index.search_sharded(
-                        embs, k=kb, fast=self._fast
+                        embs, k=self._k_bucket(k_max), fast=self._fast
                     )
                 else:
+                    # same bucketing on the single-device exact path — raw
+                    # client k values would compile one kernel per distinct k
                     idx, dist, orient = self.index.search(
-                        embs, k=k_max, fast=self._fast
+                        embs, k=self._k_bucket(k_max), fast=self._fast
                     )
                 for out_row, i in enumerate(rows):
                     r = group[i]
@@ -554,6 +581,10 @@ def main(argv=None):
                         help="skip pre-compiling the per-bucket embed/search "
                              "kernels at startup (first requests then stall "
                              "on device compiles)")
+    parser.add_argument("--max-candidates", type=int, default=65536,
+                        help="cap on any request's approximate-search rerank "
+                             "pool (the rerank gathers that many gallery "
+                             "items onto one device per query)")
     args = parser.parse_args(argv)
 
     import os
@@ -574,10 +605,14 @@ def main(argv=None):
                                fast=args.fast_eval, max_batch=args.max_batch,
                                batch_window_ms=args.batch_window_ms, mesh=mesh,
                                allow_mismatch=args.allow_mismatch,
-                               batch_workers=args.batch_workers)
+                               batch_workers=args.batch_workers,
+                               max_candidates=args.max_candidates)
+    # Bind the socket FIRST so misconfiguration (port in use) fails fast,
+    # then spend the multi-bucket warmup compiles; connections made during
+    # warmup queue in the listen backlog until serve_forever() starts.
+    server = serve(service, args.port, args.host)
     if not args.no_warmup:
         service.warmup()
-    server = serve(service, args.port, args.host)
     print(f"serving {len(index)} tiles on http://{args.host}:{args.port}")
     server.serve_forever()
 
