@@ -357,3 +357,56 @@ def test_fuzz_mutated_tiffs_never_crash(tmp_path, lib, rng):
         evil.write_bytes(bytes(raw))
         opened, rc = _open_and_read(lib, evil)
         assert opened in (True, False)  # no crash is the assertion
+
+
+def test_big_endian_predictor16_decodes_exactly(tmp_path, lib, rng):
+    """Big-endian (MM) 16-bit deflate stream with horizontal predictor: the
+    byte swap must happen BEFORE the predictor accumulation — diffs apply to
+    sample VALUES, so adding byte-swapped halves carries in the wrong byte
+    (BE 0x00FF + 0x0001 must give 0x0100, not 0x0000)."""
+    import struct
+    import zlib
+
+    h, w = 4, 6
+    arr = rng.integers(0, 65535, (h, w)).astype(np.uint16)
+    arr[0, 0], arr[0, 1] = 0x00FF, 0x0100  # forces a low-byte carry (diff 1)
+    diff = arr.astype(np.int64).copy()
+    diff[:, 1:] = (arr[:, 1:].astype(np.int64)
+                   - arr[:, :-1].astype(np.int64)) % 65536
+    payload = zlib.compress(diff.astype(">u2").tobytes())
+
+    n_tags = 10
+    data_off = 8 + 2 + n_tags * 12 + 4
+
+    def tag(code, ttype, count, value):
+        head = struct.pack(">HHI", code, ttype, count)
+        if ttype == 3:  # SHORT: inline value sits in the HIGH bytes (BE)
+            return head + struct.pack(">HH", value, 0)
+        return head + struct.pack(">I", value)
+
+    buf = struct.pack(">2sHI", b"MM", 42, 8)
+    buf += struct.pack(">H", n_tags)
+    buf += tag(256, 4, 1, w)
+    buf += tag(257, 4, 1, h)
+    buf += tag(258, 3, 1, 16)
+    buf += tag(259, 3, 1, 8)       # deflate
+    buf += tag(262, 3, 1, 1)
+    buf += tag(273, 4, 1, data_off)
+    buf += tag(277, 3, 1, 1)
+    buf += tag(278, 4, 1, h)
+    buf += tag(279, 4, 1, len(payload))
+    buf += tag(317, 3, 1, 2)       # horizontal predictor
+    buf += struct.pack(">I", 0)    # next IFD
+    buf += payload
+    path = tmp_path / "be_pred16.tif"
+    path.write_bytes(buf)
+
+    handle = ctypes.c_void_p(lib.gt_open(str(path).encode()))
+    assert handle
+    out = np.zeros((h, w, 1), np.uint16)
+    rc = lib.gt_read_window(
+        handle, 0, 0, w, h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    )
+    lib.gt_close(handle)
+    assert rc == 0
+    np.testing.assert_array_equal(out[..., 0], arr)

@@ -20,6 +20,7 @@
 #include <cstring>
 #include <map>
 #include <memory>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -67,6 +68,11 @@ struct TiffFile {
   std::map<uint64_t, std::vector<uint8_t>> cache;
   std::vector<uint64_t> cache_order;
   size_t cache_max = 64;
+  // gt_read_window mutates shared state (FILE* position, the LRU cache) and
+  // ctypes drops the GIL for the call's duration — concurrent reads on one
+  // handle must serialize or an interleaved fseek/fread decodes wrong bytes
+  // (and the cache map races).
+  std::mutex mu;
 };
 
 uint64_t rd_uint(FILE* fp, int nbytes, bool be) {
@@ -260,6 +266,14 @@ const std::vector<uint8_t>* get_chunk(TiffFile* t, uint64_t idx) {
     return nullptr;  // unsupported compression
   }
 
+  // Endian swap BEFORE the predictor: TIFF predictor differences apply to
+  // the sample VALUES, so 16-bit accumulation must run on native-order
+  // values — adding the byte-swapped halves first carries in the wrong byte
+  // (BE 0x00FF + diff 0x0001 must give 0x0100, not 0x0000).
+  if (bytes_per_sample == 2 && t->big_endian) {
+    for (size_t i = 0; i + 1 < out.size(); i += 2) std::swap(out[i], out[i + 1]);
+  }
+
   // horizontal predictor
   if (t->predictor == 2) {
     size_t row_bytes = chunk_w * t->bands * bytes_per_sample;
@@ -272,11 +286,6 @@ const std::vector<uint8_t>* get_chunk(TiffFile* t, uint64_t idx) {
         for (uint64_t i = t->bands; i < chunk_w * t->bands; i++) row16[i] = (uint16_t)(row16[i] + row16[i - t->bands]);
       }
     }
-  }
-
-  // endian swap for 16-bit on LE machines reading BE files (and vice versa)
-  if (bytes_per_sample == 2 && t->big_endian) {
-    for (size_t i = 0; i + 1 < out.size(); i += 2) std::swap(out[i], out[i + 1]);
   }
 
   if (t->cache.size() >= t->cache_max && !t->cache_order.empty()) {
@@ -424,6 +433,7 @@ int gt_geotransform(void* h, double* gt6) {
 // Windowed read into dst as uint16 HWC (caller converts); out-of-bounds = 0.
 int gt_read_window(void* h, long x0, long y0, long w, long hgt, uint16_t* dst) try {
   TiffFile* t = (TiffFile*)h;
+  std::lock_guard<std::mutex> lock(t->mu);
   size_t bps = t->bits / 8;
   memset(dst, 0, (size_t)w * hgt * t->bands * sizeof(uint16_t));
 
@@ -490,6 +500,9 @@ struct WTag { uint16_t code, type; uint32_t count; uint64_t value; };
 
 int gt_write_u8(const char* path, const uint8_t* data, long w, long h, int bands,
                 const double* gt6, int epsg, int compress) try {
+  // A degenerate raster would make nstrips 0 and strip_offsets[0] below an
+  // OOB read on an empty vector; fail cleanly instead.
+  if (w <= 0 || h <= 0 || bands <= 0) return 4;
   // RAII so the handle closes on the exception path too (the catch-all
   // below would otherwise leak the FILE on e.g. bad_alloc).
   std::unique_ptr<FILE, int (*)(FILE*)> fp_guard(fopen(path, "wb"), fclose);
@@ -547,6 +560,10 @@ int gt_write_u8(const char* path, const uint8_t* data, long w, long h, int bands
     strip_counts[s] = strips[s].size();
     cur += strips[s].size();
   }
+  // Classic TIFF carries 32-bit offsets: a >4 GB output would silently
+  // truncate strip offsets (corrupt file, rc 0). Fail cleanly; BigTIFF
+  // output is out of scope for the 8-bit tile/strip writer.
+  if (cur > 0xFFFFFFFFull) return 5;
 
   uint16_t bps_val = 8;
   tags.push_back({254, 4, 1, 0});  // NewSubfileType

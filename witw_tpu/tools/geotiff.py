@@ -240,6 +240,16 @@ class GeoTiff:
         """Read by world coords (projWin-style: ulx, uly, lrx, lry —
         the reference clips tiles with gdal.Translate(projWin=...),
         sitetiles.py:168-171)."""
+        if self._handle is None:
+            # The imageio fallback has NO georeferencing (identity transform,
+            # EPSG 0): interpreting UTM meters as pixel indices would read
+            # off-raster and return silently-black tiles.
+            raise IOError(
+                f"{self.path}: world-coordinate reads need the native GeoTIFF "
+                "reader (the imageio fallback carries no geotransform) — "
+                "build witw_tpu/native (make -C witw_tpu/native) or use "
+                "pixel-space read_window()"
+            )
         px0, py0 = self.world_to_pixel(x_min, y_max)
         px1, py1 = self.world_to_pixel(x_max, y_min)
         x0, y0 = int(round(px0)), int(round(py0))
@@ -293,14 +303,27 @@ def write_geotiff_u8(
     iio.imwrite(path, data.squeeze())
 
 
-def wgs84_to_utm(lat: float, lon: float, zone: Optional[int] = None) -> Tuple[float, float, int]:
+def wgs84_to_utm(
+    lat: float, lon: float, zone: Optional[int] = None,
+    epsg: Optional[int] = None,
+) -> Tuple[float, float, int]:
     """(lat, lon) -> (easting, northing, epsg). Replaces
-    osr.CoordinateTransformation (reference sitetiles.py:147-151)."""
+    osr.CoordinateTransformation (reference sitetiles.py:147-151).
+
+    ``epsg`` pins BOTH the zone and the hemisphere (false northing) of the
+    target grid — required when projecting into an EXISTING raster's grid: a
+    photo just across a 6-degree zone boundary (or the equator) from its
+    city's strip would otherwise land in the adjacent grid, hundreds of km
+    (or 10,000 km of false northing) off."""
     lib = native_lib()
-    if zone is None:
-        zone = int((lon + 180.0) / 6.0) + 1
-    north = lat >= 0
-    epsg = (32600 if north else 32700) + zone
+    if epsg is not None:
+        zone = epsg % 100
+        north = (epsg // 100) == 326
+    else:
+        if zone is None:
+            zone = int((lon + 180.0) / 6.0) + 1
+        north = lat >= 0
+        epsg = (32600 if north else 32700) + zone
     if lib is not None:
         e = ctypes.c_double()
         n = ctypes.c_double()
@@ -331,11 +354,16 @@ def resample(src: np.ndarray, out_h: int, out_w: int, method: str = "bilinear") 
     h, w, bands = src.shape
     if lib is not None:
         dst = np.zeros((out_h, out_w, bands), np.float32)
-        lib.gt_resample(
+        rc = lib.gt_resample(
             src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), w, h, bands,
             dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_w, out_h,
             1 if method == "lanczos" else 0,
         )
+        if rc != 0:
+            # a swallowed failure (e.g. bad_alloc on the native tmp buffer)
+            # would return the untouched all-zero dst as "valid" pixels
+            raise MemoryError(f"gt_resample failed (rc={rc}) at "
+                              f"{h}x{w}x{bands} -> {out_h}x{out_w}")
         return dst
     import cv2
 

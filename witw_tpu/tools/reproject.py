@@ -66,7 +66,11 @@ def reproject_to_utm(
         src_epsg = src.epsg
 
         def src_world_to_utm(lon, lat):
-            e, n, _ = wgs84_to_utm(lat, lon, zone=dst_epsg % 100)
+            # epsg= pins zone AND hemisphere to the destination grid: a
+            # northern-grid strip dipping below the equator must not get
+            # +10,000,000 m false northing on its southern corners (which
+            # inflated out_h to ~33M rows)
+            e, n, _ = wgs84_to_utm(lat, lon, epsg=dst_epsg)
             return e, n
 
         # destination bounds: project source corners
@@ -86,7 +90,6 @@ def reproject_to_utm(
         out_h = int(math.ceil((n_max - n_min) / resolution))
 
         out = np.zeros((out_h, out_w, src.bands), np.uint8)
-        src_img = src.read().astype(np.float32)
 
         for by in range(0, out_h, block):
             for bx in range(0, out_w, block):
@@ -104,12 +107,28 @@ def reproject_to_utm(
                     se, sn = _wgs84_to_utm_vec(lat, lon, src_epsg)
                     sx = (se - gt[0]) / gt[1]
                     sy = (sn - gt[3]) / gt[5]
+                # Windowed source read covering this block's sample coords
+                # plus the 6-tap Lanczos support (the replaced gdalwarp
+                # streams both sides; a whole-raster read would need tens of
+                # GB for a full city strip). Clipping the window to the
+                # raster keeps the kernel's coordinate clamp equal to the
+                # old whole-image edge-replicate behavior.
+                cx = np.clip(sx, -4.0, src.width + 4.0)
+                cy = np.clip(sy, -4.0, src.height + 4.0)
+                x0 = max(0, int(math.floor(cx.min())) - 3)
+                x1 = min(src.width, int(math.ceil(cx.max())) + 4)
+                y0 = max(0, int(math.floor(cy.min())) - 3)
+                y1 = min(src.height, int(math.ceil(cy.max())) + 4)
+                if x0 >= x1 or y0 >= y1:
+                    continue  # block entirely off-raster: stays zero
+                win = src.read_window(x0, y0, x1 - x0, y1 - y0).astype(np.float32)
+                lx, ly = sx - x0, sy - y0
                 if resample == "lanczos":
-                    vals = _sample_lanczos(src_img, sx, sy)
+                    vals = _sample_lanczos(win, lx, ly)
                 else:
-                    xi = np.clip(np.round(sx).astype(int), 0, src.width - 1)
-                    yi = np.clip(np.round(sy).astype(int), 0, src.height - 1)
-                    vals = src_img[yi, xi]
+                    xi = np.clip(np.round(lx).astype(int), 0, win.shape[1] - 1)
+                    yi = np.clip(np.round(ly).astype(int), 0, win.shape[0] - 1)
+                    vals = win[yi, xi]
                 inside = (sx >= -0.5) & (sx < src.width - 0.5) & (sy >= -0.5) & (sy < src.height - 0.5)
                 vals = np.where(inside[..., None], vals, 0)
                 out[by : by + bh, bx : bx + bw] = np.clip(np.round(vals), 0, 255).astype(np.uint8)

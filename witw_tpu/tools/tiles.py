@@ -123,7 +123,18 @@ def clip_tiles(
         tif = strips[city]
         if tif is None:
             continue
-        easting, northing, _ = wgs84_to_utm(row["latitude"], row["longitude"])
+        if tif.dtype != np.uint8:
+            raise ValueError(
+                f"{strip_filename(city)} is {tif.dtype}: run the 16->8-bit "
+                "conversion (tools/convert_8bit.py) before tile extraction — "
+                "astype(uint8) would wrap sample values modulo 256"
+            )
+        # Project into the STRIP's grid (its zone + hemisphere), not the zone
+        # implied by the photo's own longitude: near a zone boundary those
+        # differ by hundreds of km and the tile silently reads off-raster.
+        easting, northing, _ = wgs84_to_utm(
+            row["latitude"], row["longitude"], epsg=tif.epsg
+        )
         half = edge / 2.0
         tile = tif.read_world_window(
             easting - half, northing + half, easting + half, northing - half
