@@ -96,7 +96,7 @@ def test_metadata_to_annotated_frame(tmp_path):
     # models read (reference cvig_fov.py:45-50).
     assert list(ann.columns)[15] == "surface_path"
     assert list(ann.columns)[16] == "overhead_path"
-    assert ann.iloc[0]["satellite"] == "WV-3"
+    assert ann.iloc[0]["satellite"] == "WorldView-3"
     assert "creativecommons" in ann.iloc[0]["license_url"]
 
 
@@ -663,3 +663,107 @@ def test_build_index_headerless_integer_meta_cols(tmp_path):
     with _pytest.raises(ValueError, match="integer positions"):
         build_index(csv_path, None, dataset="cvusa", batch_size=2,
                     meta_cols=["lon:x"], state=state, cfg=cfg, verbose=False)
+
+
+def test_reference_yaml_config_compat(tmp_path):
+    """ScraperConfig.from_yaml loads the REFERENCE config.yaml shape: cities
+    as a list of {name: 'NN_code', bounding_boxes: [[...]]} entries and the
+    reference key names (density_limit/page_size/min_area/max_area)."""
+    from witw_tpu.tools.flickr.config import ScraperConfig
+
+    p = tmp_path / "ref.yaml"
+    p.write_text(
+        "url_field: \"url_m\"\n"
+        "page_size: 100\n"
+        "density_limit: 4000\n"
+        "min_area: 1\n"
+        "max_area: 2000000\n"
+        "time_delay: 2\n"
+        "refresh_metadata: False\n"
+        "cities:\n"
+        "  - name: \"03_paris\"\n"
+        "    bounding_boxes: [[2.1109464,48.4492509,2.3131089,49.0767795]]\n"
+        "    download: \"both\"\n"
+        "    download_limit: -1\n"
+        "  - name: \"09_san\"\n"
+        "    bounding_boxes: [[-66.0202785,18.3164733,-65.8945476,18.510336]]\n"
+        "    download: \"both\"\n"
+        "    download_limit: -1\n"
+    )
+    cfg = ScraperConfig.from_yaml(str(p))
+    assert cfg.per_page == 100
+    assert cfg.max_per_box == 4000
+    assert cfg.min_area_m2 == 1 and cfg.max_area_m2 == 2000000
+    assert cfg.time_delay == 2
+    assert cfg.url_field == "url_m"
+    assert set(cfg.cities) == {"paris", "san"}
+    assert cfg.cities["paris"][0] == 2.1109464
+
+
+def test_photo_url_fallback_chain():
+    from witw_tpu.tools.flickr.search import photo_url
+
+    assert photo_url({"url_o": "O", "url_m": "M"}) == "O"
+    assert photo_url({"url_m": "M"}) == "M"  # url_o absent for most photos
+    assert photo_url({"url_o": "O", "url_m": "M"}, prefer="url_m") == "M"
+    assert photo_url({"url": "legacy"}) == "legacy"
+    assert photo_url({}) == ""
+
+
+def test_rescale_reference_semantics(rng):
+    """clip spans the full 16-bit range (reference create_8bit_images.py:
+    126-127), every mode floors lo at 1 (:136), and the reference's fixed
+    SN3 per-band tables drive 'dict' via convert_to_8bit(table=...)."""
+    from witw_tpu.tools.convert_8bit import RESCALE_TABLES, rescale_to_u8
+
+    img = np.zeros((2, 2, 1), np.uint16)
+    img[0, 0, 0] = 65535
+    img[0, 1, 0] = 2000
+    out = rescale_to_u8(img, rescale="clip")
+    assert out[0, 0, 0] == 255
+    assert out[0, 1, 0] == round((2000 - 1) / (65535 - 1) * 255)  # ~8, not 255
+
+    # dict mode requires explicit ranges (no silent fallback stretch)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="per_band_ranges"):
+        rescale_to_u8(img, rescale="dict")
+    out = rescale_to_u8(img, rescale="dict",
+                        per_band_ranges={0: RESCALE_TABLES["tot_8band"][5]})
+    lo, hi = RESCALE_TABLES["tot_8band"][5]
+    assert out[0, 0, 0] == 255 and out[1, 1, 0] == 0
+
+
+def test_modify_option_20_overrides_10(rng):
+    """Reference crops options 10 and 20 BOTH from the original extended
+    panorama (modify.py:61-84): together, 20's crop is at the full-panorama
+    angular scale, not a crop of 10's 70-degree slice."""
+    from witw_tpu.tools.modify import modify_pair
+
+    w = 720
+    surface = rng.integers(0, 255, (180, w, 3), dtype=np.uint8)
+    overhead = rng.integers(0, 255, (600, 600, 3), dtype=np.uint8)
+    out, _ = modify_pair(surface, overhead, (10, 20), np.random.default_rng(0))
+    # 30-60 degree FOV of the FULL panorama; a crop of the 70-degree slice
+    # would be 5.8-11.7 degrees (12-23 px)
+    min_w = round(30 / 360 * w * 0.5)   # x aspect-model width factor >= 0.5
+    assert out.shape[1] >= min_w, out.shape
+
+
+def test_aoi_band_orders_match_reference():
+    """Band table parity with convert_strips.py: PS-MS AOIs (incl. moscow/
+    mumbai/san/dar) use [5,3,2]; atlanta/rotterdam [3,2,1]; rio is never
+    converted (pre-processed RGB)."""
+    from witw_tpu.tools.convert_8bit import BAND_ORDERS, DEFAULT_AOI_BANDS
+
+    assert DEFAULT_AOI_BANDS["rio"] is None
+    for c in ("vegas", "paris", "shanghai", "khartoum",
+              "moscow", "mumbai", "san", "dar"):
+        assert BAND_ORDERS[DEFAULT_AOI_BANDS[c]] == (5, 3, 2), c
+    for c in ("atlanta", "rotterdam"):
+        assert BAND_ORDERS[DEFAULT_AOI_BANDS[c]] == (3, 2, 1), c
+    # registry parity: San Juan is zone 20N; WV-3 for AOIs 2-5 and 7-10
+    from witw_tpu.tools.cities import CITIES
+
+    assert CITIES["san"].epsg == 32620
+    for c in ("moscow", "mumbai", "san", "dar"):
+        assert CITIES[c].satellite == "WorldView-3"

@@ -159,7 +159,13 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         )
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataset=ds))
     if args.batch_size:
-        cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
+        # --batch-size governs BOTH modes: run_test builds its loader (and
+        # the auto mesh) from eval.batch_size, so mapping only the train
+        # field would silently ignore the flag in test mode
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, batch_size=args.batch_size),
+            eval=dataclasses.replace(cfg.eval, batch_size=args.batch_size),
+        )
     if getattr(args, "shard_gallery", False):
         cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, shard_gallery=True))
     if getattr(args, "fast_eval", False):

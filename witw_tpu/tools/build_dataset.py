@@ -122,7 +122,17 @@ def build(
 
     # 2. single-band filter
     def photo_path(row):
-        return os.path.join(photo_dir, row["aoi"], f"{row['id']}.jpg")
+        direct = os.path.join(photo_dir, row["aoi"], f"{row['id']}.jpg")
+        if os.path.exists(direct):
+            return direct
+        # the downloaders (flickr/uploader.download_local, lambda_handler)
+        # save under the URL basename ({id}_{secret}_x.jpg) — the reference
+        # resolves photos the same way (build_dataset:65-70 copies
+        # $flickr_folder/$aoi/$url_basename to surface/$id.jpg)
+        url = str(row.get("url", "") or "")
+        if url:
+            return os.path.join(photo_dir, row["aoi"], url.rsplit("/", 1)[-1])
+        return direct
 
     keep = [
         os.path.exists(photo_path(row)) and not is_single_band(photo_path(row))

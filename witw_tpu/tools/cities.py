@@ -25,17 +25,21 @@ class City:
 CITIES: Dict[str, City] = {
     c.name: c
     for c in [
-        City(1, "rio", "Rio de Janeiro", 32723, "WV-2", "CC BY-SA 4.0"),
-        City(2, "vegas", "Las Vegas", 32611, "WV-3", "CC BY-SA 4.0"),
-        City(3, "paris", "Paris", 32631, "WV-3", "CC BY-SA 4.0"),
-        City(4, "shanghai", "Shanghai", 32651, "WV-3", "CC BY-SA 4.0"),
-        City(5, "khartoum", "Khartoum", 32636, "WV-3", "CC BY-SA 4.0"),
-        City(6, "atlanta", "Atlanta", 32616, "WV-2", "CC BY-SA 4.0"),
-        City(7, "moscow", "Moscow", 32637, "WV-2", "CC BY-SA 4.0"),
-        City(8, "mumbai", "Mumbai", 32643, "WV-2", "CC BY-SA 4.0"),
-        City(9, "san", "San Juan", 32619, "WV-2", "CC BY-SA 4.0"),
-        City(10, "dar", "Dar es Salaam", 32737, "WV-2", "CC BY-SA 4.0"),
-        City(11, "rotterdam", "Rotterdam", 32631, "WV-2", "CC BY-SA 4.0"),
+        City(1, "rio", "Rio de Janeiro", 32723, "WorldView-2", "CC BY-SA 4.0"),
+        City(2, "vegas", "Las Vegas", 32611, "WorldView-3", "CC BY-SA 4.0"),
+        City(3, "paris", "Paris", 32631, "WorldView-3", "CC BY-SA 4.0"),
+        City(4, "shanghai", "Shanghai", 32651, "WorldView-3", "CC BY-SA 4.0"),
+        City(5, "khartoum", "Khartoum", 32636, "WorldView-3", "CC BY-SA 4.0"),
+        City(6, "atlanta", "Atlanta", 32616, "WorldView-2", "CC BY-SA 4.0"),
+        # AOIs 7-10 are WorldView-3 like 2-5 (reference sitetiles.py:114-118:
+        # WV-2 is only AOIs 1, 6, 11; value strings match the reference
+        # CSV's satellite column); San Juan is UTM zone 20N (reference
+        # reproject_strips.py:33: 32620 — lon ~ -66 is zone 20)
+        City(7, "moscow", "Moscow", 32637, "WorldView-3", "CC BY-SA 4.0"),
+        City(8, "mumbai", "Mumbai", 32643, "WorldView-3", "CC BY-SA 4.0"),
+        City(9, "san", "San Juan", 32620, "WorldView-3", "CC BY-SA 4.0"),
+        City(10, "dar", "Dar es Salaam", 32737, "WorldView-3", "CC BY-SA 4.0"),
+        City(11, "rotterdam", "Rotterdam", 32631, "WorldView-2", "CC BY-SA 4.0"),
     ]
 }
 

@@ -12,19 +12,22 @@ from typing import Dict, Optional, Tuple
 
 BBox = Tuple[float, float, float, float]
 
-# Approximate SpaceNet AOI bounding boxes (lon/lat).
+# SpaceNet AOI bounding boxes (lon/lat) — the reference's exact boxes
+# (tools/download/flickr/config.yaml:8-53); these DEFINE the dataset extent.
 DEFAULT_CITY_BBOXES: Dict[str, BBox] = {
-    "rio": (-43.80, -23.10, -43.10, -22.75),
-    "vegas": (-115.38, 36.00, -114.95, 36.35),
-    "paris": (2.20, 48.78, 2.48, 48.95),
-    "shanghai": (121.20, 31.00, 121.80, 31.45),
-    "khartoum": (32.40, 15.45, 32.70, 15.70),
-    "atlanta": (-84.55, 33.60, -84.25, 33.90),
-    "moscow": (37.40, 55.60, 37.85, 55.90),
-    "mumbai": (72.75, 18.85, 73.05, 19.25),
-    "san": (-66.20, 18.35, -65.95, 18.50),
-    "dar": (39.15, -6.90, 39.40, -6.70),
-    "rotterdam": (4.35, 51.85, 4.60, 52.00),
+    "rio": (-43.8574219, -23.1152344, -43.1542969, -22.7636719),
+    "vegas": (-115.3075176, 36.1212777, -115.1526078, 36.2639592),
+    "paris": (2.1109464, 48.4492509, 2.3131089, 49.0767795),
+    "shanghai": (121.5901692, 30.8275659, 121.7484324, 31.4273115),
+    "khartoum": (32.4191484, 15.4365912, 32.5687824, 15.8719878),
+    "atlanta": (-84.4972444444445, 33.5884472222222,
+                -84.3023833333333, 33.8360277777778),
+    "moscow": (37.616508, 55.2994884, 37.8664794, 56.1044097),
+    "mumbai": (72.7673544, 18.8756568, 72.8947026, 19.5682986),
+    "san": (-66.0202785, 18.3164733, -65.8945476, 18.510336),
+    "dar": (39.200166, -6.8752314, 39.3379686, -6.7444974),
+    "rotterdam": (4.29701944444444, 51.8252194444445,
+                  4.53869722222222, 51.9456583333333),
 }
 
 # CC + public-domain license ids accepted by the scraper (Flickr license codes).
@@ -54,17 +57,52 @@ class ScraperConfig:
     privacy_filter: int = 1   # public only
     content_type: int = 1     # photos only
     geo_context: int = 0      # 0=all, 1=indoor, 2=outdoor
+    # Preferred URL size field (reference config.yaml: url_m). The scraper
+    # requests url_o AND url_m; consumers fall back across both.
+    url_field: str = "url_o"
 
     @classmethod
     def from_yaml(cls, path: str) -> "ScraperConfig":
+        """Load either this module's flat schema or the REFERENCE's
+        config.yaml (tools/download/flickr/config.yaml): cities as a list of
+        {name, bounding_boxes} entries with 'NN_name' codes, and the
+        reference key names (density_limit/page_size/min_area/max_area)."""
+        import warnings
+
         import yaml
 
+        aliases = {
+            "density_limit": "max_per_box",
+            "page_size": "per_page",
+            "max_area": "max_area_m2",
+            "min_area": "min_area_m2",
+        }
+        ignored = {"refresh_metadata"}  # reference keys with no analogue here
         with open(path) as f:
             raw = yaml.safe_load(f) or {}
         cfg = cls()
         for key, val in raw.items():
             if key == "cities":
-                cfg.cities = {k: tuple(v) for k, v in val.items()}
+                if isinstance(val, dict):
+                    cfg.cities = {k: tuple(v) for k, v in val.items()}
+                else:
+                    # reference shape: [{name: "01_rio",
+                    #                    bounding_boxes: [[...]], ...}, ...]
+                    cities = {}
+                    for entry in val:
+                        name = str(entry.get("name", ""))
+                        head, _, tail = name.partition("_")
+                        if head.isdigit() and tail:
+                            name = tail
+                        boxes = entry.get("bounding_boxes") or []
+                        if name and boxes:
+                            cities[name] = tuple(boxes[0])
+                    cfg.cities = cities
+            elif key in aliases:
+                setattr(cfg, aliases[key], val)
             elif hasattr(cfg, key):
                 setattr(cfg, key, val)
+            elif key not in ignored:
+                warnings.warn(f"unknown scraper config key {key!r} ignored",
+                              stacklevel=2)
         return cfg

@@ -27,7 +27,20 @@ from typing import Callable, Dict, List, Optional
 from witw_tpu.tools.flickr.config import BBox, ScraperConfig
 
 API_URL = "https://api.flickr.com/services/rest/"
-EXTRAS = "geo,license,url_o,date_taken,owner_name"
+# Request BOTH url_o (original; only present when the owner allows original
+# downloads) and url_m (always present — the reference's url_field,
+# config.yaml:1): keeping only url_o leaves most photos with no usable URL.
+EXTRAS = "geo,license,url_o,url_m,date_taken,owner_name"
+
+
+def photo_url(rec: dict, prefer: str = "url_o") -> str:
+    """Best available download URL for a record: the preferred size field,
+    then the other one, then a legacy 'url' key."""
+    order = [prefer] + [f for f in ("url_o", "url_m") if f != prefer]
+    for field in order:
+        if rec.get(field):
+            return rec[field]
+    return rec.get("url", "") or ""
 
 
 def _api_call(params: Dict, api_key: str, retries: int = 3) -> Dict:
@@ -131,11 +144,18 @@ def partition_bboxes(
     return out
 
 
-def collect_photos(bbox: BBox, cfg: ScraperConfig, api=_api_call) -> List[Dict]:
-    """Page through one bbox's results (reference flickr_search.py:175-248)."""
+def collect_photos(bbox: BBox, cfg: ScraperConfig, api=_api_call,
+                   throttle=None) -> List[Dict]:
+    """Page through one bbox's results (reference flickr_search.py:175-248).
+    A throttle sleeps before every page fetch like the reference's universal
+    time_delay (flickr_search.py:208,224) — back-to-back page requests get
+    the API key rate-limited mid-scrape."""
+    if throttle is None:
+        throttle = time.sleep if cfg.time_delay > 0 else (lambda s: None)
     photos: List[Dict] = []
     page = 1
     while True:
+        throttle(cfg.time_delay)
         data = api(
             dict(
                 _search_params(cfg),
@@ -171,12 +191,11 @@ def read_metadata(city_dir: str) -> List[Dict]:
     return [r for r in records if isinstance(r, dict)]
 
 
-def get_known_urls(city_dir: str) -> List[str]:
-    """Original-size URLs of every previously saved record (reference
-    metadata.py get_known_urls)."""
-    return [
-        r["url_o"] for r in read_metadata(city_dir) if r.get("url_o")
-    ]
+def get_known_urls(city_dir: str, prefer: str = "url_o") -> List[str]:
+    """Download URLs of every previously saved record (reference
+    metadata.py get_known_urls), across both size fields."""
+    urls = [photo_url(r, prefer) for r in read_metadata(city_dir)]
+    return [u for u in urls if u]
 
 
 def _write_snapshot(city_dir: str, records: List[Dict]) -> None:
@@ -192,7 +211,7 @@ def _write_snapshot(city_dir: str, records: List[Dict]) -> None:
     tmp = urls_path + ".tmp"
     with open(tmp, "w") as f:
         for rec in records:
-            url = rec.get("url_o")
+            url = photo_url(rec)
             if url:
                 f.write(url + "\n")
     os.replace(tmp, urls_path)
@@ -246,13 +265,18 @@ def main(argv=None):  # pragma: no cover - network entry point
     parser = argparse.ArgumentParser(description="Scrape Flickr geotagged photos")
     parser.add_argument("--config", default=None, help="YAML config path")
     parser.add_argument("--api-key", default=os.environ.get("FLICKR_API_KEY", ""))
-    parser.add_argument("--out-dir", default="./flickr_out")
+    parser.add_argument("--out-dir", default=None,
+                        help="overrides the config's out_dir when given")
     parser.add_argument("--cities", nargs="*", default=None)
     args = parser.parse_args(argv)
     cfg = ScraperConfig.from_yaml(args.config) if args.config else ScraperConfig()
     if args.api_key:
         cfg.api_key = args.api_key
-    cfg.out_dir = args.out_dir
+    if args.out_dir is not None:
+        # only an EXPLICIT flag overrides the YAML's out_dir — clobbering it
+        # with the argparse default would strand a resumed scrape away from
+        # its earlier metadata.json
+        cfg.out_dir = args.out_dir
     for city in args.cities or cfg.cities:
         records = scrape_city(city, cfg)
         print(f"{city}: {len(records)} photos")

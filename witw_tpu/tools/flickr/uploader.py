@@ -103,7 +103,9 @@ def replay_metadata(
             continue
         with open(path) as f:
             for rec in json.load(f):
-                url = rec.get("url_o") or rec.get("url")
+                from witw_tpu.tools.flickr.search import photo_url
+
+                url = photo_url(rec)  # url_o -> url_m -> legacy 'url'
                 if url:
                     jobs.append((url, city))
     if lambda_name:  # pragma: no cover - AWS path

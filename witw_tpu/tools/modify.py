@@ -86,10 +86,15 @@ def random_crop(overhead: np.ndarray, rng: np.random.Generator, size: int = 550)
 
 
 def modify_pair(surface, overhead, options: Sequence[int], rng: np.random.Generator):
+    original = surface
     if 10 in options:
-        surface = fov_slice(surface, rng)
+        surface = fov_slice(original, rng)
     if 20 in options:
-        surface = random_zoom(surface, rng)
+        # The reference crops BOTH options from the ORIGINAL extended
+        # panorama (modify.py:61-84 always crop surface_extend): with 10 and
+        # 20 together, 20 overrides 10 — it does not compose with 10's
+        # slice (whose width would make aov_pixels a ~5-12 degree crop).
+        surface = random_zoom(original, rng)
     if 40 in options:
         overhead = center_crop(overhead)
     if 50 in options:

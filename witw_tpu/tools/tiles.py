@@ -51,7 +51,10 @@ def metadata_to_frame(metadata_path: str, city: str) -> pd.DataFrame:
                 "longitude": float(rec.get("longitude", 0.0)),
                 "accuracy": rec.get("accuracy", ""),
                 "license": str(rec.get("license", "")),
-                "url": rec.get("url_o", rec.get("url", "")),
+                # url_o is present only when the owner allows original
+                # downloads; url_m always is (the reference's url_field)
+                "url": rec.get("url_o") or rec.get("url_m")
+                       or rec.get("url", ""),
             }
         )
     return pd.DataFrame(rows)
