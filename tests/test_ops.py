@@ -193,6 +193,12 @@ def test_orientation_maps(rng):
     assert s2.shape == (2, 8, 16, 5)
     assert o2.shape == (2, 10, 10, 5)
     np.testing.assert_array_equal(np.asarray(s2[..., :3]), np.asarray(surface))
+    # The uv channels are pre-encoded into the 0-255 image domain so the
+    # baseline encoder's -1 + 2*(x/255) rescale recovers uv in [-1, 1]
+    # exactly (the naive [-1,1] append would collapse to ~-1 post-rescale).
+    recovered = -1.0 + 2.0 * (np.asarray(s2[..., 3:]) / 255.0)
+    expected = np.transpose(orientation_map(8, 16, "surface"), (1, 2, 0))
+    np.testing.assert_allclose(recovered[0], expected, atol=1e-6)
 
     uv = orientation_map(8, 16, "surface")
     assert uv.shape == (2, 8, 16)

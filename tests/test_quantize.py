@@ -71,6 +71,31 @@ def test_static_quantized_forward_close_to_f32(rng, circ):
 
 
 @pytest.mark.parametrize("circ", [False, True])
+def test_calibration_forward_matches_flax_tower(rng, circ):
+    """Structural-divergence guard: calibrate_fov_activation_scales
+    re-implements the f32 tower in raw lax (a hand-maintained copy of the
+    FovDsm architecture). The scale it records for the LAST head conv is the
+    abs-max of the tower's final output, so it must equal the real Flax
+    model's output abs-max exactly — any future drift between the copy and
+    the model (pool placement, padding, head spec) fails here instead of
+    silently mis-calibrating."""
+    from witw_tpu.models.fov_dsm import HEAD_CONVS
+    from witw_tpu.models.quantize import calibrate_fov_activation_scales
+
+    cfg = FovDsmModelConfig(compute_dtype="float32")
+    model = FovDsm(cfg, circ_padding=circ)
+    x = rng.standard_normal((2, 32, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    params = jax.tree.map(np.asarray, variables["params"])
+    scales = calibrate_fov_activation_scales(params, [x], circ_padding=circ)
+    last = HEAD_CONVS[-1][0]
+    np.testing.assert_allclose(
+        scales[last] * 127.0, np.max(np.abs(out)), rtol=1e-6)
+
+
+@pytest.mark.parametrize("circ", [False, True])
 @pytest.mark.parametrize("w2d", [2, 4])
 def test_static_variants_bit_exact(rng, circ, w2d):
     """The measured perf variants — width space-to-depth conv1_1 and

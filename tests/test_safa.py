@@ -44,12 +44,14 @@ def test_safa_head_math(rng):
     assert out.shape == (2, 3 * 8)
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
 
-    # reproduce with explicit numpy
+    # reproduce with explicit numpy (per-head MLPs: rank-3 weights, one
+    # independent hw -> hw/d -> hw MLP per head as in Shi et al. 2019)
     p = jax.tree.map(np.asarray, variables["params"])
     f = np.asarray(feats).reshape(2, 8, 8)
     plan = f.max(-1)
-    hidden = plan @ p["fc1"]["kernel"] + p["fc1"]["bias"]
-    masks = (hidden @ p["fc2"]["kernel"] + p["fc2"]["bias"]).reshape(2, 8, 3)
+    assert p["fc1"].shape == (8, 4, 3) and p["fc2"].shape == (4, 8, 3)
+    hidden = np.einsum("bp,pqm->bqm", plan, p["fc1"]) + p["fc1_bias"]
+    masks = np.einsum("bqm,qpm->bpm", hidden, p["fc2"]) + p["fc2_bias"]
     want = np.einsum("bpc,bpm->bmc", f, masks).reshape(2, -1)
     want = want / np.linalg.norm(want, axis=-1, keepdims=True)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
@@ -75,7 +77,7 @@ def test_safa_train_loss_decreases_and_eval(tmp_path):
 
     mask = safa_trainable_mask(state.params["surface"], cfg.model)
     assert mask["vgg"]["conv_0"]["kernel"] is False
-    assert mask["safa"]["fc1"]["kernel"] is True
+    assert mask["safa"]["fc1"] is True
 
     _, first, _ = run_phase(pipeline, state, loader, rng, False, 0, verbose=False)
     for epoch in range(5):

@@ -534,6 +534,16 @@ def test_static_int8_saturation_guard(rng):
     assert on_hot > 0.02  # measured ~0.048: clipping re-normalizes downstream
     assert on_hot > on_calib * 10
 
+    # first_conv_bf16 towers must report their conv1_1 clip too — the
+    # bf16_conv epilogue clips at +127 outside requant(), and that rail was
+    # previously invisible to the guard.
+    sq_bf = quantize_tower_static(
+        jax.tree.map(np.asarray, state.params)["surface"], [x], False,
+        first_conv_bf16=True)
+    bf_hot = static_int8_saturation(sq_bf, 10.0 * x, False)
+    assert bf_hot > 0.02
+    assert static_int8_saturation(sq_bf, x, False) < 1e-3
+
 
 def test_build_index_from_dataset_csv(tmp_path):
     """tools/build_index embeds a dataset CSV's overhead tiles into a

@@ -375,7 +375,13 @@ def quantized_fov_forward_static(
             preferred_element_type=jnp.float32,
         ) + entry["bias_f"]
         y = jnp.round(acc * entry["inv_next"])
-        return jnp.clip(y, 0.0, 127.0).astype(jnp.int8)  # relu folded
+        q = jnp.clip(y, 0.0, 127.0).astype(jnp.int8)  # relu folded
+        if saturation_out is not None:
+            # Only the +127 rail is saturation here: the 0 rail is the folded
+            # ReLU, not a calibration miss. Without this the first_conv_bf16
+            # path's clipping is invisible to check_saturation.
+            saturation_out.append((jnp.sum(q == 127), q.size))
+        return q
 
     def qconv_w2d(h_q, entry, f):
         # First-of-block conv in width space-to-depth form (exact; see

@@ -23,7 +23,14 @@ from witw_tpu.models.backbones.vgg16 import Vgg16Features
 
 
 class SafaHead(nn.Module):
-    """Spatial-aware position embedding: M masks from the max-pooled plan."""
+    """Spatial-aware position embedding: M masks from the max-pooled plan.
+
+    Each head owns an independent 2-layer MLP (hw -> hw/d -> hw), as in the
+    published spatial-aware module (Shi et al. NeurIPS 2019): the per-head
+    weights are rank-3 tensors contracted with einsum, NOT a shared
+    bottleneck — a shared fc1 would make all M masks linear functions of one
+    hidden vector and rank-limit head diversity.
+    """
 
     num_heads: int = 8
     reduction: int = 2
@@ -33,14 +40,22 @@ class SafaHead(nn.Module):
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = features.shape
         hw = h * w
+        hid = hw // self.reduction
+        m = self.num_heads
         f = features.reshape(b, hw, c)
         plan = jnp.max(f, axis=-1)  # [B, hw] channel-max plan
-        hidden = nn.Dense(hw // self.reduction, dtype=self.dtype, name="fc1")(plan)
-        masks = nn.Dense(hw * self.num_heads, dtype=self.dtype, name="fc2")(hidden)
-        masks = masks.reshape(b, hw, self.num_heads)
+        w_init = nn.initializers.truncated_normal(stddev=0.005)
+        b_init = nn.initializers.constant(0.1)
+        w1 = self.param("fc1", w_init, (hw, hid, m), jnp.float32)
+        b1 = self.param("fc1_bias", b_init, (hid, m), jnp.float32)
+        w2 = self.param("fc2", w_init, (hid, hw, m), jnp.float32)
+        b2 = self.param("fc2_bias", b_init, (hw, m), jnp.float32)
+        dt = self.dtype
+        hidden = jnp.einsum("bp,pqm->bqm", plan.astype(dt), w1.astype(dt)) + b1.astype(dt)
+        masks = jnp.einsum("bqm,qpm->bpm", hidden, w2.astype(dt)) + b2.astype(dt)
         # attention-weighted sums per head -> [B, M, C]
         embed = jnp.einsum("bpc,bpm->bmc", f.astype(jnp.float32), masks.astype(jnp.float32))
-        embed = embed.reshape(b, self.num_heads * c)
+        embed = embed.reshape(b, m * c)
         norm = jnp.linalg.norm(embed, axis=-1, keepdims=True)
         return embed / jnp.maximum(norm, 1e-12)
 

@@ -39,11 +39,21 @@ def orientation_map(height: int, width: int, view: str = "surface") -> np.ndarra
 def append_orientation_maps(
     surface: jax.Array, overhead: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
-    """Append the two u-v channels to NHWC surface/overhead batches."""
+    """Append the two u-v channels to NHWC surface/overhead batches.
+
+    The batches are in the raw 0-255 image domain here, and the baseline
+    encoder rescales EVERY input channel with ``-1 + 2*(x/255)``
+    (reference cvig_baseline.py:265-266, which would have done the same to
+    the dead OrientationMaps transform's output). Emitting uv directly in
+    [-1, 1] would therefore collapse the channels to a near-constant ~-1, so
+    they are pre-encoded into the image domain as ``(uv + 1) * 127.5`` — the
+    encoder's rescale maps them back to the intended [-1, 1] uv exactly.
+    """
 
     def extend(x: jax.Array, view: str) -> jax.Array:
         b, h, w, _ = x.shape
-        uv = jnp.asarray(orientation_map(h, w, view))  # [2, H, W]
+        uv = jnp.asarray(orientation_map(h, w, view))  # [2, H, W] in [-1, 1]
+        uv = (uv + 1.0) * 127.5  # image domain; encoder rescale inverts this
         uv = jnp.broadcast_to(jnp.transpose(uv, (1, 2, 0))[None], (b, h, w, 2))
         return jnp.concatenate([x, uv.astype(x.dtype)], axis=-1)
 

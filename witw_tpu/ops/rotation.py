@@ -20,12 +20,17 @@ def horizontal_shift(img: jax.Array, degrees: jax.Array) -> jax.Array:
     """Shift a panorama as if the viewer turned clockwise by `degrees`
     (reference cvig_baseline.py:97-112: roll by -round(deg * W / 360)).
 
-    img: [..., H, W, C] NHWC/HWC; degrees: scalar or [B].
+    img: [..., H, W, C] NHWC/HWC with scalar degrees; per-sample degrees [B]
+    require a batched [B, H, W, C] img.
     """
     w = img.shape[-2]
     shift = -jnp.round(degrees * w / 360.0).astype(jnp.int32)
     if jnp.ndim(shift) == 0:
         return jnp.roll(img, shift, axis=-2)
+    if img.ndim != 4:
+        raise ValueError(
+            f"per-sample degrees need a [B, H, W, C] img, got shape {img.shape}"
+        )
     cols = (jnp.arange(w)[None, :] - shift[:, None]) % w  # [B, W]
     return jnp.take_along_axis(img, cols[:, None, :, None], axis=2)
 
@@ -105,6 +110,15 @@ def synced_rotation(
     panorama surface rolled to match (reference cvig_baseline.py:130-160).
 
     surface: [B, H, W, C]; overhead: [B, S, S, C]. Returns (surface, overhead).
+
+    Quantized-mode quirk, reproduced from the reference: the reference's
+    QuantizedSyncedRotation pairs the SAME horizontal_shift as the continuous
+    path with quantized_rotation's transpose/flip compositions — which rotate
+    the displayed overhead CLOCKWISE, opposite to torchvision rotate. The
+    surface/overhead relative orientation in quantized mode therefore differs
+    from continuous mode for factors 1 and 3. This matches the reference
+    bit-for-bit (cvig_baseline.py:148-160 vs 115-127); do not "fix" it
+    without breaking parity.
     """
     b = surface.shape[0]
     if quantized:
