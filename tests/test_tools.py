@@ -720,6 +720,37 @@ def test_photo_url_fallback_chain():
     assert photo_url({}) == ""
 
 
+def test_api_key_secret_file_precedence(tmp_path, monkeypatch):
+    """Credential chain: CLI flag > FLICKR_API_KEY > FLICKR_API_KEY_FILE >
+    docker secret (reference mounts flickr_api_key as a compose secret,
+    tools/download/docker-compose.yaml:11-21 + secrets.py get_secret)."""
+    from witw_tpu.tools.flickr.search import read_secret_file, resolve_api_key
+
+    secret_root = tmp_path / "run_secrets"
+    secret_root.mkdir()
+    (secret_root / "flickr_api_key").write_text("docker-secret-key\n")
+    key_file = tmp_path / "keyfile"
+    key_file.write_text("file-key\n")
+
+    monkeypatch.delenv("FLICKR_API_KEY", raising=False)
+    monkeypatch.delenv("FLICKR_API_KEY_FILE", raising=False)
+    # docker secret is the last resort
+    assert resolve_api_key(secret_root=str(secret_root)) == "docker-secret-key"
+    # FLICKR_API_KEY_FILE beats the docker secret
+    monkeypatch.setenv("FLICKR_API_KEY_FILE", str(key_file))
+    assert resolve_api_key(secret_root=str(secret_root)) == "file-key"
+    # env var beats the file
+    monkeypatch.setenv("FLICKR_API_KEY", "env-key")
+    assert resolve_api_key(secret_root=str(secret_root)) == "env-key"
+    # explicit CLI value beats everything
+    assert resolve_api_key("cli-key", secret_root=str(secret_root)) == "cli-key"
+    # absent files resolve to "" (fall-through), never raise
+    assert read_secret_file(str(tmp_path / "missing")) == ""
+    monkeypatch.delenv("FLICKR_API_KEY", raising=False)
+    monkeypatch.delenv("FLICKR_API_KEY_FILE", raising=False)
+    assert resolve_api_key(secret_root=str(tmp_path / "nope")) == ""
+
+
 def test_rescale_reference_semantics(rng):
     """clip spans the full 16-bit range (reference create_8bit_images.py:
     126-127), every mode floors lo at 1 (:136), and the reference's fixed

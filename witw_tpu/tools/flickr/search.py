@@ -259,19 +259,49 @@ def scrape_city(
     return records
 
 
+def read_secret_file(path: str) -> str:
+    """Docker-secret credential file: first line, stripped (the reference
+    mounts flickr_api_key/flickr_api_secret as compose secrets and reads them
+    with secrets.get_secret, reference tools/download/flickr/src/secrets.py +
+    docker-compose.yaml:11-21). Returns "" when the file is absent so callers
+    can fall through to env/CLI sources."""
+    try:
+        with open(path) as f:
+            return f.read().strip()
+    except OSError:
+        return ""
+
+
+def resolve_api_key(cli_value: str = "", secret_root: str = "/run/secrets") -> str:
+    """Credential precedence: explicit CLI flag > FLICKR_API_KEY env >
+    FLICKR_API_KEY_FILE env (path) > docker secret {secret_root}/flickr_api_key."""
+    if cli_value:
+        return cli_value
+    if os.environ.get("FLICKR_API_KEY"):
+        return os.environ["FLICKR_API_KEY"]
+    key_file = os.environ.get("FLICKR_API_KEY_FILE", "")
+    if key_file:
+        return read_secret_file(key_file)
+    return read_secret_file(os.path.join(secret_root, "flickr_api_key"))
+
+
 def main(argv=None):  # pragma: no cover - network entry point
     import argparse
 
     parser = argparse.ArgumentParser(description="Scrape Flickr geotagged photos")
     parser.add_argument("--config", default=None, help="YAML config path")
-    parser.add_argument("--api-key", default=os.environ.get("FLICKR_API_KEY", ""))
+    parser.add_argument("--api-key", default="",
+                        help="Flickr API key; falls back to FLICKR_API_KEY, "
+                             "then FLICKR_API_KEY_FILE, then the docker "
+                             "secret /run/secrets/flickr_api_key")
     parser.add_argument("--out-dir", default=None,
                         help="overrides the config's out_dir when given")
     parser.add_argument("--cities", nargs="*", default=None)
     args = parser.parse_args(argv)
     cfg = ScraperConfig.from_yaml(args.config) if args.config else ScraperConfig()
-    if args.api_key:
-        cfg.api_key = args.api_key
+    api_key = resolve_api_key(args.api_key)
+    if api_key:
+        cfg.api_key = api_key
     if args.out_dir is not None:
         # only an EXPLICIT flag overrides the YAML's out_dir — clobbering it
         # with the argparse default would strand a resumed scrape away from
