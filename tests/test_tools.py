@@ -749,6 +749,15 @@ def test_api_key_secret_file_precedence(tmp_path, monkeypatch):
     monkeypatch.delenv("FLICKR_API_KEY", raising=False)
     monkeypatch.delenv("FLICKR_API_KEY_FILE", raising=False)
     assert resolve_api_key(secret_root=str(tmp_path / "nope")) == ""
+    # a typo'd FLICKR_API_KEY_FILE warns and FALLS THROUGH to the docker
+    # secret rather than silently disabling credentials
+    monkeypatch.setenv("FLICKR_API_KEY_FILE", str(tmp_path / "typo"))
+    assert resolve_api_key(secret_root=str(secret_root)) == "docker-secret-key"
+    # docker-secret semantics: first line only, stripped — a multi-line
+    # secret file must not leak embedded newlines into the api_key param
+    multiline = tmp_path / "multiline"
+    multiline.write_text("top-line-key\ntrailing junk\n")
+    assert read_secret_file(str(multiline)) == "top-line-key"
 
 
 def test_rescale_reference_semantics(rng):

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -267,21 +268,28 @@ def read_secret_file(path: str) -> str:
     can fall through to env/CLI sources."""
     try:
         with open(path) as f:
-            return f.read().strip()
+            return f.readline().strip()
     except OSError:
         return ""
 
 
 def resolve_api_key(cli_value: str = "", secret_root: str = "/run/secrets") -> str:
     """Credential precedence: explicit CLI flag > FLICKR_API_KEY env >
-    FLICKR_API_KEY_FILE env (path) > docker secret {secret_root}/flickr_api_key."""
+    FLICKR_API_KEY_FILE env (path) > docker secret {secret_root}/flickr_api_key.
+    An unreadable FLICKR_API_KEY_FILE warns and falls through to the docker
+    secret rather than silently disabling credentials (a typo'd path must not
+    terminate the chain)."""
     if cli_value:
         return cli_value
     if os.environ.get("FLICKR_API_KEY"):
         return os.environ["FLICKR_API_KEY"]
     key_file = os.environ.get("FLICKR_API_KEY_FILE", "")
     if key_file:
-        return read_secret_file(key_file)
+        key = read_secret_file(key_file)
+        if key:
+            return key
+        print(f"warning: FLICKR_API_KEY_FILE={key_file} is missing/unreadable; "
+              "falling back to the docker secret", file=sys.stderr)
     return read_secret_file(os.path.join(secret_root, "flickr_api_key"))
 
 
