@@ -178,6 +178,44 @@ def test_euclidean_ranks_bruteforce(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_euclidean_ranks_asymmetric_and_sharded(rng):
+    """Baseline-family eval at FOV-evaluator capability (VERDICT r3 #5):
+    Q != G with explicit true-match indices, and the gallery-resident
+    mesh-sharded sweep — both against a brute-force loop, with sharded ==
+    unsharded bitwise."""
+    import pytest as _pytest
+
+    n_q, n_extra, dim = 24, 43, 16  # 67 gallery rows: pads the 8-way split
+    g_true = rng.standard_normal((n_q, dim)).astype(np.float32)
+    q = g_true + 0.1 * rng.standard_normal((n_q, dim)).astype(np.float32)
+    distract = rng.standard_normal((n_extra, dim)).astype(np.float32)
+    gal = np.concatenate([g_true, distract])
+    perm = rng.permutation(len(gal))
+    gal = gal[perm]
+    true_match = np.argsort(perm)[:n_q]
+
+    want = np.zeros(n_q, dtype=int)
+    for i in range(n_q):
+        d = np.sum((gal - q[i]) ** 2, axis=1)
+        want[i] = np.sum(d <= d[true_match[i]])
+
+    got = euclidean_ranks(gal, q, block=7, true_match=true_match)
+    np.testing.assert_array_equal(got, want)
+
+    mesh = make_mesh(n_data=8)
+    got_sh = euclidean_ranks(gal, q, block=7, true_match=true_match, mesh=mesh)
+    np.testing.assert_array_equal(got_sh, got)
+
+    # symmetric case: sharded == unsharded == brute force
+    got_sym = euclidean_ranks(g_true, q, block=7)
+    got_sym_sh = euclidean_ranks(g_true, q, block=7, mesh=mesh)
+    np.testing.assert_array_equal(got_sym_sh, got_sym)
+
+    # without indices, asymmetric sizes must be rejected
+    with _pytest.raises(AssertionError):
+        euclidean_ranks(gal, q)
+
+
 def test_metrics_from_ranks():
     ranks = np.array([1, 1, 2, 7, 50, 200])
     m = metrics_from_ranks(ranks)

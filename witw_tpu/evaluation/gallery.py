@@ -465,41 +465,116 @@ def euclidean_ranks(
     gallery_embeds: np.ndarray,
     query_embeds: np.ndarray,
     block: int = 1024,
+    true_match: Optional[np.ndarray] = None,
+    mesh: Optional[Mesh] = None,
 ) -> np.ndarray:
     """Ranks under plain Euclidean distance on embedding vectors — the
-    baseline model's eval (reference cvig_baseline.py:456-460). Squared
-    distances are rank-equivalent to the reference's sqrt distances; ties
-    compare identically."""
-    g = jnp.asarray(gallery_embeds, jnp.float32)
-    q = np.asarray(query_embeds, np.float32)
-    n = q.shape[0]
-    # true match of query i is gallery row i (the reference's paired test
-    # sets); an asymmetric gallery would silently read clamped rows
-    assert g.shape[0] == n, (g.shape[0], n)
+    baseline/SAFA families' eval (reference cvig_baseline.py:456-460).
+    Squared distances are rank-equivalent to the reference's sqrt distances;
+    ties compare identically.
 
-    g_sq = jnp.sum(g * g, axis=1)  # once, not per block
-    counts = np.zeros(n, dtype=np.int32)
-    for start in range(0, n, block):
-        stop = min(start + block, n)
+    ``true_match``: gallery index of each query's true match [Q]; None =
+    arange (the reference's paired test sets, where Q == G). ``mesh`` shards
+    the GALLERY axis over every mesh device — each device GEMMs its own
+    gallery shard against the replicated query block and the per-shard rank
+    counts (and the true match's in-matrix distance) meet in one psum, so
+    the sharded result is bitwise identical to the single-device sweep (the
+    FOV evaluator's shard_gallery analogue for the 1-D embedding families).
+    """
+    g_np = np.asarray(gallery_embeds, np.float32)
+    q = np.asarray(query_embeds, np.float32)
+    nq = q.shape[0]
+    ng = g_np.shape[0]
+    if true_match is None:
+        assert ng == nq, (
+            "asymmetric query/gallery requires explicit true_match indices"
+        )
+        tm = np.arange(nq, dtype=np.int32)
+    else:
+        tm = np.asarray(true_match, np.int32)
+        assert tm.shape == (nq,), (tm.shape, nq)
+
+    if mesh is not None:
+        from witw_tpu.parallel.mesh import gallery_sharding, replicated_sharding
+
+        n_dev = mesh.devices.size
+        ng_pad = -(-ng // n_dev) * n_dev
+        g_arr = jax.device_put(_pad_to(g_np, ng_pad), gallery_sharding(mesh, 2))
+        idx = jax.device_put(
+            np.arange(ng_pad, dtype=np.int32), gallery_sharding(mesh, 1)
+        )
+        valid = jax.device_put(np.arange(ng_pad) < ng, gallery_sharding(mesh, 1))
+        count_fn = _make_euclidean_sharded_counter(mesh)
+        rsh = replicated_sharding(mesh)
+        put = lambda x: jax.device_put(x, rsh)  # noqa: E731
+    else:
+        g_arr = jnp.asarray(g_np)
+        idx = jnp.arange(ng, dtype=jnp.int32)
+        valid = jnp.ones(ng, bool)
+        count_fn = _euclidean_block_counts
+        put = jnp.asarray
+
+    counts = np.zeros(nq, dtype=np.int32)
+    for start in range(0, nq, block):
+        stop = min(start + block, nq)
         qb = _pad_to(q[start:stop], block)
-        rows = np.clip(start + np.arange(block), 0, n - 1)
-        c = _euclidean_block_counts(g, g_sq, jnp.asarray(qb), jnp.asarray(rows))
-        counts[start:stop] = np.asarray(c)[: stop - start]
-    return counts
+        tm_b = np.full(block, -1, np.int32)  # -1: matches no gallery item
+        tm_b[: stop - start] = tm[start:stop]
+        c = count_fn(g_arr, valid, idx, put(qb), put(tm_b))
+        counts[start:stop] = _fetch(c)[: stop - start]
+    # The true match itself counts unconditionally: its distance is read off
+    # the SAME distance matrix inside the kernel (exact tie, reference
+    # cvig_baseline.py:460), so this +1 with the kernel's != exclusion equals
+    # the reference's <= count including the self pair.
+    return counts + 1
+
+
+def _euclidean_counts_local(g, valid, idx, q_block, tm_block, psum_axes=None):
+    """Rank counts for one query block against a (possibly local-shard)
+    gallery under squared Euclidean distance. The true-match distance is the
+    IN-MATRIX value d2[tm, q] (gathered via a masked sum so it works when the
+    row lives on another device's shard), so the self tie compares exactly and
+    sharded == unsharded bitwise (each d2 element's K-axis accumulation is
+    independent of the gallery split)."""
+    g_sq = jnp.sum(g * g, axis=1)
+    q_sq = jnp.sum(q_block * q_block, axis=1)
+    d2 = g_sq[:, None] + q_sq[None, :] - 2.0 * (g @ q_block.T)  # [G(l), Qb]
+    is_tm = idx[:, None] == tm_block[None, :]
+    d_true = jnp.sum(jnp.where(is_tm, d2, 0.0), axis=0)  # [Qb]
+    if psum_axes is not None:
+        d_true = jax.lax.psum(d_true, axis_name=psum_axes)
+    le = (d2 <= d_true[None, :]) & valid[:, None] & ~is_tm
+    cnt = jnp.sum(le.astype(jnp.int32), axis=0)
+    if psum_axes is not None:
+        cnt = jax.lax.psum(cnt, axis_name=psum_axes)
+    return cnt
 
 
 @jax.jit
-def _euclidean_block_counts(g, g_sq, q_block, rows):
-    """One query block's rank counts under squared Euclidean distance.
-    Module-level jit: a per-call closure would recapture the gallery and
-    recompile on every euclidean_ranks() invocation."""
-    q_sq = jnp.sum(q_block * q_block, axis=1)
-    cross = g @ q_block.T
-    d2 = g_sq[:, None] + q_sq[None, :] - 2.0 * cross  # [N, Qb]
-    # True-match distance read off the same matrix so the self pair compares
-    # exactly equal (ties count, reference cvig_baseline.py:460).
-    d_true = d2[rows, jnp.arange(q_block.shape[0])]
-    return jnp.sum((d2 <= d_true[None, :]).astype(jnp.int32), axis=0)
+def _euclidean_block_counts(g, valid, idx, q_block, tm_block):
+    """Single-device form. Module-level jit: a per-call closure would
+    recapture the gallery and recompile on every euclidean_ranks() call."""
+    return _euclidean_counts_local(g, valid, idx, q_block, tm_block)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_euclidean_sharded_counter(mesh: Mesh):
+    """shard_map counter with the gallery resident per device (the
+    baseline-family analogue of _make_gallery_sharded_counter)."""
+    axes = tuple(mesh.axis_names)
+
+    def local_counts(g_l, valid_l, idx_l, q_block, tm_block):
+        return _euclidean_counts_local(
+            g_l, valid_l, idx_l, q_block, tm_block, psum_axes=axes
+        )
+
+    sm = _shard_map()(
+        local_counts,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes), P(axes), P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(sm)
 
 
 def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:

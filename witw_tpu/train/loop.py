@@ -394,7 +394,9 @@ def test(
         )
         ranks = evaluator.ranks(o_emb, s_emb)
     else:
-        ranks = euclidean_ranks(o_emb, s_emb)
+        # Baseline/SAFA families: gallery-resident mesh-sharded GEMM sweep
+        # (bitwise equal to the single-device form; evaluation/gallery.py).
+        ranks = euclidean_ranks(o_emb, s_emb, mesh=mesh)
     results = metrics_from_ranks(ranks)
 
     if verbose:
