@@ -160,6 +160,71 @@ def test_static_quantized_rank_agreement(rng):
     assert abs(int(np.sum(r_f32 <= 1)) - int(np.sum(r_q <= 1))) <= 1
 
 
+@pytest.mark.parametrize("circ", [False, True])
+def test_safa_static_quantized_close_to_f32(rng, circ):
+    """SAFA-family static-int8 path (VERDICT r3 #7): int8 VGG trunk + f32
+    SAFA head, per-row embedding cosine vs the f32 tower > 0.99 after
+    calibration on matching data."""
+    from witw_tpu.configs import SafaModelConfig
+    from witw_tpu.models.quantize import (
+        quantize_safa_tower_static,
+        quantized_safa_forward_static,
+    )
+    from witw_tpu.models.safa import VggSafa
+
+    cfg = SafaModelConfig(compute_dtype="float32")
+    model = VggSafa(cfg, circ_padding=circ)
+    x = rng.standard_normal((2, 32, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    want = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    calib = [rng.standard_normal((2, 32, 64, 3)).astype(np.float32), x]
+    sq, head = quantize_safa_tower_static(variables["params"], calib, circ)
+    got = np.asarray(
+        quantized_safa_forward_static(sq, head, jnp.asarray(x), circ))
+
+    assert got.shape == want.shape
+    # unit embeddings: compare per-row cosine directly
+    cos = np.sum(got * want, axis=1)
+    assert np.all(cos > 0.99), cos
+
+
+def test_safa_static_rank_agreement(rng):
+    """Euclidean retrieval ranks from the static-int8 SAFA towers agree with
+    the f32 towers on planted-structure data — the same serving-path
+    acceptance contract as the FOV family."""
+    from witw_tpu.configs import SafaModelConfig
+    from witw_tpu.evaluation.gallery import euclidean_ranks
+    from witw_tpu.models.quantize import (
+        quantize_safa_tower_static,
+        quantized_safa_forward_static,
+    )
+    from witw_tpu.models.safa import VggSafa
+
+    cfg = SafaModelConfig(compute_dtype="float32")
+    surf_m = VggSafa(cfg, circ_padding=False)
+    over_m = VggSafa(cfg, circ_padding=True)
+    n = 12
+    surf = rng.standard_normal((n, 32, 64, 3)).astype(np.float32)
+    over = surf + 0.1 * rng.standard_normal((n, 32, 64, 3)).astype(np.float32)
+    vs = surf_m.init(jax.random.PRNGKey(0), jnp.asarray(surf))
+    vo = over_m.init(jax.random.PRNGKey(1), jnp.asarray(over))
+
+    s_f32 = np.asarray(surf_m.apply(vs, jnp.asarray(surf)))
+    o_f32 = np.asarray(over_m.apply(vo, jnp.asarray(over)))
+
+    sq_s, head_s = quantize_safa_tower_static(vs["params"], [surf], False)
+    sq_o, head_o = quantize_safa_tower_static(vo["params"], [over], True)
+    s_q = np.asarray(
+        quantized_safa_forward_static(sq_s, head_s, jnp.asarray(surf), False))
+    o_q = np.asarray(
+        quantized_safa_forward_static(sq_o, head_o, jnp.asarray(over), True))
+
+    r_f32 = euclidean_ranks(o_f32, s_f32, block=4)
+    r_q = euclidean_ranks(o_q, s_q, block=4)
+    assert abs(int(np.sum(r_f32 <= 1)) - int(np.sum(r_q <= 1))) <= 1
+
+
 def test_int8_first_preprocess_matches_f32_preprocess(rng):
     """preprocess_static_int8 (normalize+quantize first, int8 gathers after)
     agrees with quantizing the f32 _preprocess outputs: surface exact, polar

@@ -139,17 +139,20 @@ def quantize_pipeline(state):
 # abs-max reductions or float round-trips between layers).
 # ---------------------------------------------------------------------------
 
-_CONV_ORDER = tuple(f"conv_{i}" for i, _ in
-                    [c for blk in VGG16_BLOCKS for c in blk]) + tuple(
-                        name for name, _, _, _ in HEAD_CONVS)
+_TRUNK_ORDER = tuple(
+    f"conv_{i}" for i, _ in [c for blk in VGG16_BLOCKS for c in blk]
+)
+_CONV_ORDER = _TRUNK_ORDER + tuple(name for name, _, _, _ in HEAD_CONVS)
 
 
-def calibrate_fov_activation_scales(params, batches, circ_padding=False):
+def calibrate_fov_activation_scales(params, batches, circ_padding=False,
+                                    include_head: bool = True):
     """Run the f32 tower over calibration batches recording each conv input's
     abs-max; returns {'input': s0, 'conv_N': s_after_that_conv, ...} where the
     scale stored under a conv name is the abs-max of its (post-ReLU) OUTPUT —
     i.e. the next conv's input. ``batches``: iterable of normalized NHWC
-    float inputs."""
+    float inputs. ``include_head=False`` calibrates the shared VGG trunk only
+    (the SAFA family: trunk int8, SAFA head f32)."""
     batches = list(batches)
     if not batches:
         raise ValueError(
@@ -157,7 +160,8 @@ def calibrate_fov_activation_scales(params, batches, circ_padding=False):
             "leave every activation scale at its 1e-12 floor and quantize "
             "all activations to +-127"
         )
-    maxes = {k: 0.0 for k in _CONV_ORDER}
+    order = _CONV_ORDER if include_head else _TRUNK_ORDER
+    maxes = {k: 0.0 for k in order}
     in_max = 0.0
     for x in batches:
         h = jnp.asarray(x, jnp.float32)
@@ -180,6 +184,8 @@ def calibrate_fov_activation_scales(params, batches, circ_padding=False):
                 h = jax.lax.reduce_window(
                     h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
                 )
+        if not include_head:
+            continue
         if circ_padding:
             h = wrap_pad_width(h, len(HEAD_CONVS))
         for name, _, strides, relu_after in HEAD_CONVS:
@@ -215,7 +221,8 @@ def prepare_static_qparams(params, act_scales, first_conv_bf16: bool = False):
     out = {"vgg": {}}
     s_in = act_scales["input"]
     prev = s_in
-    for idx, name in enumerate(_CONV_ORDER):
+    order = tuple(k for k in _CONV_ORDER if k in act_scales)
+    for idx, name in enumerate(order):
         kv = params["vgg"][name] if name in params.get("vgg", {}) else params[name]
         k = np.asarray(kv["kernel"], np.float32)
         nxt = act_scales[name]
@@ -484,6 +491,118 @@ def quantize_pipeline_static(state, calib_batches, first_conv_bf16=False):
     return (
         quantize_tower_static(params["surface"], surf_b, False, first_conv_bf16),
         quantize_tower_static(params["overhead"], polar_b, True, first_conv_bf16),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAFA-family static serving (VERDICT r3 #7): the SAFA towers share the FOV
+# towers' VGG16 trunk (models/safa.py), so the trunk runs through the same
+# static-int8 tables; only the final trunk conv dequantizes straight from its
+# int32 accumulator (no int8 re-rounding of the feature map) and the SAFA
+# attention head — two tiny einsums + the embedding sum, <1% of the tower's
+# FLOPs — stays f32. Gated by the same rank-agreement contract as the FOV
+# path (tests/test_quantize.py).
+# ---------------------------------------------------------------------------
+
+
+def safa_head_apply(head_params, feats: jnp.ndarray) -> jnp.ndarray:
+    """Functional f32 transcription of models.safa.SafaHead.__call__ for the
+    static serving path (per-head 2-layer MLP masks over the channel-max
+    plan; Shi et al. NeurIPS 2019)."""
+    b, h, w, c = feats.shape
+    f = feats.reshape(b, h * w, c)
+    plan = jnp.max(f, axis=-1)
+    w1 = jnp.asarray(head_params["fc1"], jnp.float32)
+    b1 = jnp.asarray(head_params["fc1_bias"], jnp.float32)
+    w2 = jnp.asarray(head_params["fc2"], jnp.float32)
+    b2 = jnp.asarray(head_params["fc2_bias"], jnp.float32)
+    hidden = jnp.einsum("bp,pqm->bqm", plan, w1) + b1
+    masks = jnp.einsum("bqm,qpm->bpm", hidden, w2) + b2
+    embed = jnp.einsum("bpc,bpm->bmc", f, masks).reshape(b, -1)
+    norm = jnp.linalg.norm(embed, axis=-1, keepdims=True)
+    return embed / jnp.maximum(norm, 1e-12)
+
+
+def quantized_safa_forward_static(
+    sq, head_params, x, circ_padding: bool = False, x_quantized: bool = False,
+    saturation_out: list = None,
+):
+    """Static-scale int8 forward of one SAFA tower (inference only): int8
+    VGG trunk -> f32 conv4_3 features (dequantized in the accumulator
+    domain, ReLU in f32) -> f32 SAFA head -> unit embedding [B, M*C].
+
+    ``sq``: trunk tables from quantize_safa_tower_static. Same input
+    contract as quantized_fov_forward_static (normalized NHWC floats, or
+    int8 in the input-scale domain with ``x_quantized``)."""
+    w_pad = (0, 0) if circ_padding else (1, 1)
+    if x_quantized:
+        assert x.dtype == jnp.int8, x.dtype
+        h = x
+    else:
+        h = quantize_input(jnp.asarray(x, jnp.float32), sq["input_scale"])
+
+    def qconv(h_q, entry):
+        return jax.lax.conv_general_dilated(
+            h_q, entry["kernel_q"], (1, 1), ((1, 1), w_pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ) + entry["bias_q"]
+
+    last_idx = VGG16_BLOCKS[-1][-1][0]
+    feats = None
+    for block_i, block in enumerate(VGG16_BLOCKS):
+        if circ_padding:
+            h = wrap_pad_width(h, len(block))
+        for torch_idx, _ in block:
+            entry = sq["vgg"][f"conv_{torch_idx}"]
+            acc = qconv(h, entry)
+            if torch_idx == last_idx:
+                # final trunk conv: dequantize the accumulator directly (use
+                # the float bias for exactness), ReLU in f32 — the SAFA head
+                # consumes full-precision features, not 127-level ones
+                acc = acc - entry["bias_q"]
+                feats = jax.nn.relu(
+                    acc.astype(jnp.float32) * entry["dequant"] + entry["bias_f"]
+                )
+            else:
+                q = _requant(acc, entry["requant_m"], relu=True)
+                if saturation_out is not None:
+                    saturation_out.append(
+                        (jnp.sum(q == 127) + jnp.sum(q == -127), q.size)
+                    )
+                h = q
+        if block_i < 3:
+            h = jax.lax.reduce_window(
+                h, jnp.int8(-127), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID"
+            )
+    return safa_head_apply(head_params, feats)
+
+
+def quantize_safa_tower_static(tower_params, calib_batches, circ_padding: bool):
+    """Calibrate one SAFA tower's VGG trunk on normalized NHWC batches and
+    fold the static tables; returns (sq_trunk, head_params_f32) for
+    quantized_safa_forward_static."""
+    params = jax.tree.map(np.asarray, tower_params)
+    scales = calibrate_fov_activation_scales(
+        params, calib_batches, circ_padding, include_head=False
+    )
+    sq = jax.tree.map(jnp.asarray, prepare_static_qparams(params, scales))
+    head = jax.tree.map(jnp.asarray, params["safa"])
+    return sq, head
+
+
+def quantize_safa_pipeline_static(state, calib_batches):
+    """Calibrate + fold both SAFA towers; returns ((sq_s, head_s),
+    (sq_o, head_o)). ``calib_batches``: iterable of (surface_norm,
+    polar_norm) f32 NHWC pairs, like quantize_pipeline_static."""
+    params = jax.tree.map(np.asarray, state.params)
+    calib_batches = list(calib_batches)
+    surf_b = [np.asarray(s) for s, _ in calib_batches]
+    polar_b = [np.asarray(p) for _, p in calib_batches]
+    return (
+        quantize_safa_tower_static(params["surface"], surf_b, False),
+        quantize_safa_tower_static(params["overhead"], polar_b, True),
     )
 
 
