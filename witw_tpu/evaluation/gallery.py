@@ -126,18 +126,24 @@ class FovGalleryEvaluator:
         sw = surface_embeds.shape[2]
         w = overhead_embeds.shape[2]
 
+        # One host->device upload per embedding set: the true-match row
+        # select, padding, and block reshapes all happen device-side.
+        # (Through the axon tunnel the duplicate 100 MB-class uploads of the
+        # same embeds — once for the d_true pass, once for the sweep — were
+        # most of the eval wall clock; exp/r4_eval_roofline.)
+        gal = jnp.asarray(overhead_embeds, jnp.float32)
+        s_dev = jnp.asarray(surface_embeds, jnp.float32)
+
         # --- true-match distances, one paired O(N) pass ---
-        d_true = np.asarray(
-            _paired_distance_batched(
-                jnp.asarray(_true_match_rows(overhead_embeds, true_match)),
-                jnp.asarray(surface_embeds),
-                self.fast_matmul,
-            )
+        tm_rows = (
+            gal
+            if true_match is None
+            else jnp.take(gal, jnp.asarray(true_match, jnp.int32), axis=0)
         )
+        d_true = _paired_distance_batched(tm_rows, s_dev, self.fast_matmul)
 
         # --- precompute gallery quantities ---
         n_gal = overhead_embeds.shape[0]
-        gal = jnp.asarray(overhead_embeds, jnp.float32)
         n_chunks = -(-n_gal // self.gallery_chunk)
         n_gal_pad = n_chunks * self.gallery_chunk
         gal = jnp.pad(gal, ((0, n_gal_pad - n_gal), (0, 0), (0, 0), (0, 0)))
@@ -164,21 +170,25 @@ class FovGalleryEvaluator:
         # blocks, each lax.map-ing over gallery chunks) ---
         qb = self.query_block
         n_qblocks = -(-n // qb)
-        s_all = _pad_to(np.asarray(surface_embeds, np.float32), n_qblocks * qb)
-        s_all = s_all.reshape(n_qblocks, qb, *s_all.shape[1:])
-        dt_all = _pad_to(np.asarray(d_true, np.float32), n_qblocks * qb)
-        dt_all = dt_all.reshape(n_qblocks, qb)
         tm_all = _true_match_blocks(true_match, n, n_qblocks, qb)
         if self.mesh is not None:
-            # Shard the per-block query axis over the whole mesh.
+            # Shard the per-block query axis over the whole mesh (host-side
+            # build: device_put with a sharding wants committed host data on
+            # multi-host meshes).
+            s_np = _pad_to(np.asarray(surface_embeds, np.float32), n_qblocks * qb)
+            dt_np = _pad_to(np.asarray(d_true, np.float32), n_qblocks * qb)
             qsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names, None, None, None))
             dsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names))
-            s_arr = jax.device_put(s_all, qsh)
-            dt_arr = jax.device_put(dt_all, dsh)
+            s_arr = jax.device_put(
+                s_np.reshape(n_qblocks, qb, *s_np.shape[1:]), qsh
+            )
+            dt_arr = jax.device_put(dt_np.reshape(n_qblocks, qb), dsh)
             tm_arr = jax.device_put(tm_all, dsh)
         else:
-            s_arr = jnp.asarray(s_all)
-            dt_arr = jnp.asarray(dt_all)
+            pad_q = n_qblocks * qb - n
+            s_arr = jnp.pad(s_dev, ((0, pad_q),) + ((0, 0),) * (s_dev.ndim - 1))
+            s_arr = s_arr.reshape(n_qblocks, qb, *s_dev.shape[1:])
+            dt_arr = jnp.pad(d_true, (0, pad_q)).reshape(n_qblocks, qb)
             tm_arr = jnp.asarray(tm_all)
         counts = _fetch(block_fn(*chunk_args, s_arr, dt_arr, tm_arr)).reshape(-1)[:n]
         # The true match itself counts UNCONDITIONALLY (reference semantics:
@@ -481,10 +491,8 @@ def euclidean_ranks(
     the sharded result is bitwise identical to the single-device sweep (the
     FOV evaluator's shard_gallery analogue for the 1-D embedding families).
     """
-    g_np = np.asarray(gallery_embeds, np.float32)
-    q = np.asarray(query_embeds, np.float32)
-    nq = q.shape[0]
-    ng = g_np.shape[0]
+    nq = query_embeds.shape[0]
+    ng = gallery_embeds.shape[0]
     if true_match is None:
         assert ng == nq, (
             "asymmetric query/gallery requires explicit true_match indices"
@@ -497,6 +505,8 @@ def euclidean_ranks(
     if mesh is not None:
         from witw_tpu.parallel.mesh import gallery_sharding, replicated_sharding
 
+        g_np = np.asarray(gallery_embeds, np.float32)
+        q = np.asarray(query_embeds, np.float32)
         n_dev = mesh.devices.size
         ng_pad = -(-ng // n_dev) * n_dev
         g_arr = jax.device_put(_pad_to(g_np, ng_pad), gallery_sharding(mesh, 2))
@@ -507,20 +517,31 @@ def euclidean_ranks(
         count_fn = _make_euclidean_sharded_counter(mesh)
         rsh = replicated_sharding(mesh)
         put = lambda x: jax.device_put(x, rsh)  # noqa: E731
+
+        def q_block(start, stop):
+            return put(_pad_to(q[start:stop], block))
     else:
-        g_arr = jnp.asarray(g_np)
+        # Device arrays (e.g. straight from embed_all) pass through without a
+        # host round trip; jnp.asarray on host data uploads once.
+        g_arr = jnp.asarray(gallery_embeds, jnp.float32)
+        q_dev = jnp.asarray(query_embeds, jnp.float32)
         idx = jnp.arange(ng, dtype=jnp.int32)
         valid = jnp.ones(ng, bool)
         count_fn = _euclidean_block_counts
         put = jnp.asarray
 
+        def q_block(start, stop):
+            qb = q_dev[start:stop]
+            if stop - start < block:
+                qb = jnp.pad(qb, ((0, block - (stop - start)), (0, 0)))
+            return qb
+
     counts = np.zeros(nq, dtype=np.int32)
     for start in range(0, nq, block):
         stop = min(start + block, nq)
-        qb = _pad_to(q[start:stop], block)
         tm_b = np.full(block, -1, np.int32)  # -1: matches no gallery item
         tm_b[: stop - start] = tm[start:stop]
-        c = count_fn(g_arr, valid, idx, put(qb), put(tm_b))
+        c = count_fn(g_arr, valid, idx, q_block(start, stop), put(tm_b))
         counts[start:stop] = _fetch(c)[: stop - start]
     # The true match itself counts unconditionally: its distance is read off
     # the SAME distance matrix inside the kernel (exact tie, reference

@@ -15,10 +15,12 @@ All functions are pure and trace-time (jit/shard_map-composable).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def query_fft(s: jax.Array, w: int) -> Tuple[jax.Array, jax.Array]:
@@ -47,9 +49,19 @@ def chord_scores(
     by the crop norm at that shift and the query norm."""
     corr_max = jnp.max(corr, axis=-1)
     orient = jnp.argmax(corr, axis=-1)
-    wsq_at = jnp.take_along_axis(
-        jnp.broadcast_to(wsq, corr.shape), orient[..., None], axis=-1
-    )[..., 0]
+    # wsq at the argmax shift via a one-hot masked sum, NOT take_along_axis:
+    # XLA:TPU lowers the gather scalarized (measured 1.38 ms per [1024, 128]
+    # block — 64% of the whole eval sweep's device time, exp/r4_eval_roofline
+    # trace), while compare+select+reduce fuses into one vectorized pass.
+    # Bitwise identical: argmax yields exactly one index, so exactly one
+    # summand is nonzero.
+    iota = jax.lax.broadcasted_iota(jnp.int32, corr.shape, corr.ndim - 1)
+    wsq_at = jnp.sum(
+        jnp.where(
+            iota == orient[..., None], jnp.broadcast_to(wsq, corr.shape), 0.0
+        ),
+        axis=-1,
+    )
     cos = corr_max * jax.lax.rsqrt(jnp.maximum(wsq_at, 1e-20)) / jnp.maximum(
         s_norm, 1e-10
     )
@@ -91,6 +103,39 @@ def _freq_product(fo: jax.Array, fs: jax.Array, sub: str, fast: bool) -> jax.Arr
     return jax.lax.complex(re, im)
 
 
+@functools.lru_cache(maxsize=8)
+def _irdft_mats(w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse-rDFT matrices (f64-built, f32-cast): for Hermitian rFFT
+    coefficients P[..., wf], irfft(P, n=w) == Re(P) @ C + Im(P) @ S with
+    C[f, n] = m_f cos(2pi f n / w) / w, S[f, n] = -m_f sin(2pi f n / w) / w,
+    m_0 = m_{w/2} = 1 and m_f = 2 otherwise (the Hermitian double-count)."""
+    f = np.arange(w // 2 + 1, dtype=np.float64)
+    n = np.arange(w, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(f, n) / w
+    scale = np.full(w // 2 + 1, 2.0)
+    scale[0] = 1.0
+    if w % 2 == 0:
+        scale[-1] = 1.0
+    c = np.cos(ang) * scale[:, None] / w
+    s = -np.sin(ang) * scale[:, None] / w
+    return c.astype(np.float32), s.astype(np.float32)
+
+
+def _irfft_small(prod: jax.Array, w: int) -> jax.Array:
+    """Inverse rFFT along the last axis as two real matmuls against the
+    precomputed inverse-DFT matrices — numerically equivalent to
+    jnp.fft.irfft at f32 roundoff, and much faster than XLA's irfft custom
+    call at the matcher's tiny widths (w=64): the custom call forces layout
+    copies in/out on every sweep step (~300 of 500 ms of the 8832^2 eval
+    sweep's device time; exp/r4_eval_roofline trace), while the matmul form
+    fuses into the surrounding einsum pipeline."""
+    c, s = _irdft_mats(w)
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.einsum(
+        "...f,fn->...n", jnp.real(prod), c, precision=hp
+    ) + jnp.einsum("...f,fn->...n", jnp.imag(prod), s, precision=hp)
+
+
 def gallery_vs_queries(
     fo: jax.Array, wsq: jax.Array, fs: jax.Array, s_norm: jax.Array, w: int,
     fast: bool = False,
@@ -99,7 +144,7 @@ def gallery_vs_queries(
     -> (distances [G, Q], orientations [G, Q]). wsq: [G, w], s_norm: [Q].
     ``fast``: bf16 frequency product (see _freq_product)."""
     prod = _freq_product(fo, fs, "ghfc,qhfc->gqf", fast)
-    corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [G, Q, w]
+    corr = _irfft_small(prod, w)  # [G, Q, w]
     return chord_scores(corr, wsq[:, None, :], s_norm[None, :])
 
 
@@ -111,5 +156,5 @@ def candidates_vs_queries(
     fo: [Q, M, h, wf, c], wsq: [Q, M, w], fs: [Q, h, wf, c], s_norm: [Q]
     -> (distances [Q, M], orientations [Q, M])."""
     prod = _freq_product(fo, fs, "qmhfc,qhfc->qmf", fast)
-    corr = jnp.fft.irfft(prod, n=w, axis=-1)  # [Q, M, w]
+    corr = _irfft_small(prod, w)  # [Q, M, w]
     return chord_scores(corr, wsq, s_norm[:, None])

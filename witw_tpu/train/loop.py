@@ -280,23 +280,39 @@ def _fetch_global(x) -> np.ndarray:
 
 
 def embed_all(pipeline, state: TrainState, loader, mesh=None, rng=None, verbose=False):
-    """Embed a whole dataset; returns (surface_embeds, overhead_embeds) as
+    """Embed a whole dataset; returns (surface_embeds, overhead_embeds) —
+    device arrays when single-process without a mesh (see below), else
     numpy. Batch results are accumulated in a list and concatenated ONCE —
     O(N) total copies, vs the reference's per-batch torch.cat realloc pattern
     which is O(N^2) (cvig_fov.py:527-532). Multi-host meshes are handled by a
     per-batch process_allgather. ``rng`` seeds the eval-time stochastic
     transforms the reference applies (random crop heading / synced rotation),
     split per batch."""
+    import jax.numpy as jnp
+
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    # Single-process, single-device: keep the embeddings ON DEVICE — the
+    # evaluators consume device arrays directly (jnp.asarray is a no-op), so
+    # fetching here only to re-upload for the rank sweep would round-trip
+    # ~100 MB-class arrays through the host (the dominant eval cost through
+    # the axon tunnel; exp/r4_eval_roofline). Meshes/multi-host still gather
+    # to host numpy (process_allgather + straggler semantics need it).
+    on_device = mesh is None and jax.process_count() == 1
     surfaces = []
     overheads = []
     for data, n_valid in device_prefetch(loader, mesh):
         rng, step_rng = jax.random.split(rng)
         s_emb, o_emb = pipeline.embed_step(state, data, step_rng)
+        if on_device:
+            surfaces.append(s_emb[:n_valid])
+            overheads.append(o_emb[:n_valid])
+            continue
         # padded straggler rows (sharded path) are dropped after the fetch
         surfaces.append(_fetch_global(s_emb)[:n_valid])
         overheads.append(_fetch_global(o_emb)[:n_valid])
+    if on_device:
+        return jnp.concatenate(surfaces), jnp.concatenate(overheads)
     return np.concatenate(surfaces), np.concatenate(overheads)
 
 
