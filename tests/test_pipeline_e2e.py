@@ -273,6 +273,64 @@ def test_heatmap_sweep_int8_small_geometry(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_heatmap_sweep_uint8_tiles(tmp_path, rng):
+    """tile_dtype='uint8' (4x less H2D tile traffic): scores agree with the
+    f32 tile path within the <=0.5-LSB resample rounding, and the index
+    cache treats a tile-dtype mismatch as stale."""
+    import dataclasses
+
+    import jax
+
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.tools.heatmap import sweep
+    from witw_tpu.train.pipeline import make_pipeline
+
+    cfg = fov_experiment(dataset="witw", fov=90)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, surface_height=32, surface_width_max=128,
+            overhead_size=64,
+        ),
+    )
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    e0, n0 = 447600.0, 5411900.0
+    strip = rng.integers(1, 255, size=(1200, 1200, 3), dtype=np.uint8)
+    gtf = np.array([e0, 0.3, 0, n0, 0, -0.3])
+    sat_path = str(tmp_path / "03_paris.tif")
+    gt.write_geotiff_u8(sat_path, strip, gtf, 32631)
+
+    from PIL import Image
+
+    photo_path = str(tmp_path / "img.jpg")
+    Image.fromarray(
+        rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+    ).save(photo_path)
+
+    csv_path = str(tmp_path / "match.csv")
+    bounds = (e0 + 30, n0 - 250, e0 + 250, n0 - 30)
+    cache = str(tmp_path / "tiles_u8.npz")
+    common = dict(edge=225.0, offset=112.5, fov=90, state=state,
+                  verbose=False, cfg=cfg, batch_size=8)
+    frame_f32 = sweep(sat_path, photo_path, csv_path, bounds, **common)
+    frame_u8 = sweep(sat_path, photo_path, csv_path, bounds,
+                     index_cache=cache, tile_dtype="uint8", **common)
+    assert str(GalleryIndex.load(cache).meta.get("tile_dtype")) == "uint8"
+    np.testing.assert_allclose(
+        frame_u8["dissimilarity"], frame_f32["dissimilarity"],
+        rtol=0.05, atol=0.02,
+    )
+    assert (np.argmin(frame_u8["dissimilarity"])
+            == np.argmin(frame_f32["dissimilarity"]))
+    # an f32 sweep against the u8 cache must rebuild, not serve it
+    sweep(sat_path, photo_path, csv_path, bounds, index_cache=cache, **common)
+    assert str(GalleryIndex.load(cache).meta.get("tile_dtype")) == "float32"
+
+
+@pytest.mark.slow
 def test_parity_harness_plumbing(tmp_path, rng):
     """End-to-end parity-harness run on the synthetic fixture: fake reference
     tower .pth checkpoints -> conversion -> full eval -> 0.5-pt gate. Proves

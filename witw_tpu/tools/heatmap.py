@@ -56,7 +56,7 @@ def window_grid(
 
 
 def _cache_is_stale(index, n_windows, centers_e, want_precision,
-                    params_sha=None):
+                    params_sha=None, tile_dtype="float32"):
     """True when a cached embedding index cannot serve this sweep: tile grid
     changed (count or centers), the towers' precision differs (an f32
     gallery must never be scored against an int8 query embedding), or the
@@ -69,6 +69,7 @@ def _cache_is_stale(index, n_windows, centers_e, want_precision,
         or cached_x.shape != np.shape(centers_e)
         or not np.allclose(cached_x, centers_e)
         or str(index.meta.get("precision", "f32")) != want_precision
+        or str(index.meta.get("tile_dtype", "float32")) != tile_dtype
         or (params_sha is not None
             and str(index.meta.get("params_sha", "")) != params_sha)
     )
@@ -92,6 +93,7 @@ def sweep(
     verbose: bool = True,
     cfg=None,
     mesh=None,
+    tile_dtype: str = "float32",
 ) -> pd.DataFrame:
     """``index_cache``: optional .npz path; when set, the embedded tile
     gallery (a GalleryIndex with tile centers) is loaded from/saved to it so
@@ -110,7 +112,16 @@ def sweep(
     ``cfg``: optional ExperimentConfig overriding the standard WITW FOV
     preset — reduced geometries for tests (XLA:CPU runs int8 convs at
     reference-lowering speed, so full-geometry int8 sweeps are unusable on
-    CPU) or custom experiment variants."""
+    CPU) or custom experiment variants.
+
+    ``tile_dtype="uint8"`` streams resampled tiles to the device as uint8
+    (rounded; cast to f32 on device) — 4x less host->device traffic, the
+    dominant cost of a 100k-tile sweep through a slow host link. The WITW
+    strips are 8-bit, so this matches the reference pipeline, which writes
+    8-bit tile FILES before embedding (tools/heatmap/heatmap.py:50-66) —
+    only the Lanczos resample's fractional part (<=0.5 LSB) differs from
+    the f32 default; rank agreement is test-gated. The index cache records
+    the mode and treats a mismatch as stale."""
     import jax
 
     from witw_tpu.data.loader import decode_image, resize_host
@@ -146,7 +157,7 @@ def sweep(
     if index_cache and os.path.exists(index_cache):
         cached_index = GalleryIndex.load(index_cache)
         if _cache_is_stale(cached_index, len(windows), centers_e,
-                           "int8" if int8 else "f32", params_sha):
+                           "int8" if int8 else "f32", params_sha, tile_dtype):
             cached_index = None  # stale: grid, precision, or weights changed
 
     # --- query photo(s): one embed batch, one sweep for all of them ---
@@ -190,7 +201,7 @@ def sweep(
         from witw_tpu.ops.image import normalize_images
         from witw_tpu.ops.polar import polar_transform
 
-        x = normalize_images(x, d.img_mean, d.img_std)
+        x = normalize_images(x.astype(jnp.float32), d.img_mean, d.img_std)
         return polar_transform(x, d.surface_height, d.surface_width_max)
 
     @jax.jit
@@ -212,10 +223,15 @@ def sweep(
         o_parts = []
         sat = GeoTiff(sat_path)
 
+        tiles_u8 = tile_dtype == "uint8"
+
         def read_tile(window):
             ulx, uly, lrx, lry = window
             tile = sat.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
-            return resample(tile[..., :3], d.overhead_size, d.overhead_size)
+            tile = resample(tile[..., :3], d.overhead_size, d.overhead_size)
+            if tiles_u8:
+                tile = np.clip(np.rint(tile), 0.0, 255.0).astype(np.uint8)
+            return tile
 
         sat_frac = None
         calib_tiles = {}
@@ -231,7 +247,8 @@ def sweep(
             )
 
         buf = np.zeros(
-            (batch_size, d.overhead_size, d.overhead_size, 3), np.float32
+            (batch_size, d.overhead_size, d.overhead_size, 3),
+            np.uint8 if tiles_u8 else np.float32,
         )
         for start in range(0, n, batch_size):
             stop = min(start + batch_size, n)
@@ -256,6 +273,7 @@ def sweep(
         o_emb = np.concatenate(o_parts)[:n]
         meta = {"x": centers_e, "y": centers_n,
                 "precision": "int8" if int8 else "f32",
+                "tile_dtype": tile_dtype,
                 "params_sha": params_sha}
         if sat_frac is not None:
             meta["int8_saturation"] = sat_frac
