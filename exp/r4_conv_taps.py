@@ -62,7 +62,7 @@ def _tap_kernel(x_ref, w_ref, m_ref, out_ref, *, h, width, c, n):
         out_ref[0, r] = jnp.clip(y, 0.0, 127.0).astype(jnp.int8)
         return 0
 
-    jax.lax.fori_loop(0, h, row, 0, unroll=2)
+    jax.lax.fori_loop(0, h, row, 0)
 
 
 @jax.jit
