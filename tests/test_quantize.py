@@ -225,6 +225,89 @@ def test_safa_static_rank_agreement(rng):
     assert abs(int(np.sum(r_f32 <= 1)) - int(np.sum(r_q <= 1))) <= 1
 
 
+def test_baseline_static_quantized_close_to_f32(rng):
+    """Baseline-family static-int8 path: int8 k=4 s=2 convs with the
+    LeakyReLU+BatchNorm epilogue folded into f32 per-channel affines,
+    per-row embedding cosine vs the f32 tower > 0.99. The 7 unpadded
+    stride-2 convs need >= 382 px input (see test_models), so this runs
+    one 384^2 image."""
+    from witw_tpu.configs import BaselineModelConfig
+    from witw_tpu.models import BaselineEncoder
+    from witw_tpu.models.quantize import (
+        quantize_baseline_tower_static,
+        quantized_baseline_forward_static,
+    )
+
+    cfg = BaselineModelConfig(compute_dtype="float32")
+    model = BaselineEncoder(cfg)
+    x = rng.uniform(0, 255, size=(1, 384, 384, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    want = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    calib = [x, rng.uniform(0, 255, size=(1, 384, 384, 3)).astype(np.float32)]
+    sq = quantize_baseline_tower_static(variables, calib)
+    sats = []
+    got = np.asarray(quantized_baseline_forward_static(
+        sq, jnp.asarray(x), saturation_out=sats))
+
+    assert got.shape == want.shape == (1, 1536)
+    cos = np.sum(got * want, axis=1) / (
+        np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1))
+    assert np.all(cos > 0.99), cos
+    # the f/||f||^0.5 pseudo-norm must also track (embeddings are NOT unit)
+    np.testing.assert_allclose(
+        np.linalg.norm(got, axis=1), np.linalg.norm(want, axis=1), rtol=0.05)
+    # saturation counters cover every requant (6 of 7 layers requantize)
+    assert len(sats) == 6
+    frac = sum(int(h) for h, _ in sats) / sum(t for _, t in sats)
+    assert frac < 0.01, frac
+
+
+def test_baseline_static_rank_agreement(rng):
+    """Euclidean retrieval ranks from the static-int8 baseline towers agree
+    with the f32 towers on planted-structure data — the same serving-path
+    acceptance contract as the FOV/SAFA families."""
+    from witw_tpu.configs import BaselineModelConfig
+    from witw_tpu.evaluation.gallery import euclidean_ranks
+    from witw_tpu.models import BaselineEncoder
+    from witw_tpu.models.quantize import (
+        quantize_baseline_tower_static,
+        quantized_baseline_forward_static,
+    )
+
+    cfg = BaselineModelConfig(compute_dtype="float32")
+    surf_m = BaselineEncoder(cfg)
+    over_m = BaselineEncoder(cfg)
+    n = 6
+    surf = rng.uniform(0, 255, size=(n, 384, 384, 3)).astype(np.float32)
+    over = np.clip(
+        surf + rng.normal(0, 12, size=surf.shape), 0, 255
+    ).astype(np.float32)
+    vs = surf_m.init(jax.random.PRNGKey(0), jnp.asarray(surf))
+    vo = over_m.init(jax.random.PRNGKey(1), jnp.asarray(over))
+
+    s_f32 = np.asarray(surf_m.apply(vs, jnp.asarray(surf), train=False))
+    o_f32 = np.asarray(over_m.apply(vo, jnp.asarray(over), train=False))
+
+    # through the two-tower pipeline helper (same tables as per-tower calls)
+    from types import SimpleNamespace
+
+    from witw_tpu.models.quantize import quantize_baseline_pipeline_static
+
+    state = SimpleNamespace(
+        params={"surface": vs["params"], "overhead": vo["params"]},
+        batch_stats={"surface": vs["batch_stats"],
+                     "overhead": vo["batch_stats"]},
+    )
+    sq_s, sq_o = quantize_baseline_pipeline_static(state, [(surf, over)])
+    s_q = np.asarray(quantized_baseline_forward_static(sq_s, jnp.asarray(surf)))
+    o_q = np.asarray(quantized_baseline_forward_static(sq_o, jnp.asarray(over)))
+
+    r_f32 = euclidean_ranks(o_f32, s_f32, block=3)
+    r_q = euclidean_ranks(o_q, s_q, block=3)
+    assert abs(int(np.sum(r_f32 <= 1)) - int(np.sum(r_q <= 1))) <= 1
+
+
 def test_int8_first_preprocess_matches_f32_preprocess(rng):
     """preprocess_static_int8 (normalize+quantize first, int8 gathers after)
     agrees with quantizing the f32 _preprocess outputs: surface exact, polar

@@ -752,3 +752,168 @@ def preprocess_static_int8(data_cfg, sq_s, sq_o, batch, rng, corner_major="k"):
         tile_q, d.surface_height, d.surface_width_max, corner_major=corner_major
     )
     return surf_q, polar_q
+
+
+# ---------------------------------------------------------------------------
+# Baseline-family static serving: the 7-conv GeM twin towers
+# (models/baseline.py; reference model/cvig_baseline.py:228-283). Completes
+# the static-int8 serving matrix across the four model families (FOV /
+# semantic / SAFA / baseline). Per layer: one int8 k=4 s=2 VALID conv with an
+# int32 accumulator, then one fused f32 epilogue (dequant + conv bias +
+# LeakyReLU + eval-mode BatchNorm affine + requantize-to-next-scale). The
+# reference's deliberate LeakyReLU-THEN-BatchNorm order means BN cannot fold
+# into the conv kernel — it folds into the epilogue's per-channel
+# multiply-add instead. GeM pooling (p=3) of conv5/6/7 and the f/||f||^0.5
+# pseudo-normalization stay f32 (<0.1% of the tower FLOPs). Gated by the same
+# embedding-cosine + retrieval-rank-agreement contract as the other families
+# (tests/test_quantize.py).
+# ---------------------------------------------------------------------------
+
+_BASELINE_LAYERS = 7
+
+
+def _baseline_bn_affine(params, stats, i: int):
+    """Eval-mode BatchNorm as a per-channel affine (g, b): y = x * g + b."""
+    g = np.asarray(params[f"bn{i}"]["scale"], np.float32) / np.sqrt(
+        np.asarray(stats[f"bn{i}"]["var"], np.float32) + 1e-5
+    )
+    b = (
+        np.asarray(params[f"bn{i}"]["bias"], np.float32)
+        - np.asarray(stats[f"bn{i}"]["mean"], np.float32) * g
+    )
+    return g, b
+
+
+def calibrate_baseline_scales(params, batch_stats, batches,
+                              leaky_slope: float = 0.2):
+    """f32 eval-mode tower over RAW uint8-scale NHWC batches, recording the
+    [-1,1]-scaled input's and each BatchNorm output's abs-max (= the next
+    conv's int8 input scale). Layer 7's BN output feeds only the f32 GeM
+    pool, so no scale is recorded for it."""
+    batches = list(batches)
+    if not batches:
+        raise ValueError(
+            "calibration requires at least one batch: empty input would "
+            "leave every activation scale at its 1e-12 floor and quantize "
+            "all activations to +-127"
+        )
+    maxes = {i: 0.0 for i in range(1, _BASELINE_LAYERS)}
+    in_max = 0.0
+    for x in batches:
+        h = -1.0 + 2.0 * (jnp.asarray(x, jnp.float32) / 255.0)
+        in_max = max(in_max, float(jnp.max(jnp.abs(h))))
+        for i in range(1, _BASELINE_LAYERS + 1):
+            kv = params[f"conv{i}"]
+            h = jax.lax.conv_general_dilated(
+                h, jnp.asarray(kv["kernel"], jnp.float32), (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(kv["bias"], jnp.float32)
+            h = jnp.where(h >= 0, h, leaky_slope * h)
+            g, b = _baseline_bn_affine(params, batch_stats, i)
+            h = h * jnp.asarray(g) + jnp.asarray(b)
+            if i < _BASELINE_LAYERS:
+                maxes[i] = max(maxes[i], float(jnp.max(jnp.abs(h))))
+    scales = {"input": max(in_max, 1e-12) / 127.0}
+    for i, v in maxes.items():
+        scales[i] = max(v, 1e-12) / 127.0
+    return scales
+
+
+def quantize_baseline_tower_static(variables, calib_batches,
+                                   leaky_slope: float = 0.2):
+    """Calibrate one baseline tower on raw uint8-scale NHWC batches and fold
+    the static tables for quantized_baseline_forward_static.
+
+    ``variables``: the flax {"params", "batch_stats"} variable dict of one
+    models.baseline.BaselineEncoder tower (eval-mode running stats are folded
+    into the epilogue affine)."""
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    scales = calibrate_baseline_scales(params, stats, calib_batches,
+                                       leaky_slope)
+    prev = scales["input"]
+    layers = []
+    for i in range(1, _BASELINE_LAYERS + 1):
+        k = np.asarray(params[f"conv{i}"]["kernel"], np.float32)
+        s_w = np.maximum(np.max(np.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
+        g, b = _baseline_bn_affine(params, stats, i)
+        entry = {
+            "kernel_q": np.clip(np.round(k / s_w), -127, 127).astype(np.int8),
+            # int32 accumulator -> f32, per output channel (the conv bias is
+            # added in f32 after dequant — no bias rounding).
+            "dequant": (prev * s_w).astype(np.float32),
+            "bias_f": np.asarray(params[f"conv{i}"]["bias"], np.float32),
+            "bn_g": g.astype(np.float32),
+            "bn_b": b.astype(np.float32),
+        }
+        if i < _BASELINE_LAYERS:
+            entry["inv_next"] = np.float32(1.0 / scales[i])
+            prev = scales[i]
+        layers.append(entry)
+    return jax.tree.map(
+        jnp.asarray, {"input_scale": np.float32(scales["input"]),
+                      "layers": tuple(layers)}
+    )
+
+
+def quantized_baseline_forward_static(
+    sq, x, gem_power: float = 3.0, leaky_slope: float = 0.2,
+    saturation_out: list = None,
+):
+    """Static-scale int8 forward of one baseline tower (inference only).
+
+    ``x``: RAW NHWC uint8-scale floats — the BaselineEncoder input contract
+    (reference cvig_baseline.py:265-266's [-1,1] scaling is applied before
+    the input quantization). Returns the f32 [B, 1536] embedding with the
+    reference's GeM concat + f/||f||^0.5 pseudo-normalization
+    (cvig_baseline.py:272-278)."""
+    x = -1.0 + 2.0 * (jnp.asarray(x, jnp.float32) / 255.0)
+    h = quantize_input(x, sq["input_scale"])
+    feats = []
+    n = len(sq["layers"])
+    for i, entry in enumerate(sq["layers"], start=1):
+        acc = jax.lax.conv_general_dilated(
+            h, entry["kernel_q"], (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        z = acc.astype(jnp.float32) * entry["dequant"] + entry["bias_f"]
+        z = jnp.where(z >= 0, z, leaky_slope * z)
+        z = z * entry["bn_g"] + entry["bn_b"]
+        if i >= 5:
+            feats.append(jnp.power(
+                jnp.mean(jnp.power(jax.nn.relu(z), gem_power), axis=(1, 2)),
+                1.0 / gem_power,
+            ))
+        if i < n:
+            q = jnp.clip(jnp.round(z * entry["inv_next"]), -127, 127)
+            h = q.astype(jnp.int8)
+            if saturation_out is not None:
+                saturation_out.append(
+                    (jnp.sum(q == 127) + jnp.sum(q == -127), q.size)
+                )
+    f = jnp.concatenate(feats, axis=1)
+    # f / ||f||^0.5 with no epsilon — identical to the f32 tower.
+    norm = jnp.linalg.norm(f, axis=1, keepdims=True)
+    return f / jnp.sqrt(norm)
+
+
+def quantize_baseline_pipeline_static(state, calib_batches,
+                                      leaky_slope: float = 0.2):
+    """Calibrate + fold both baseline towers; returns (sq_surface,
+    sq_overhead) for quantized_baseline_forward_static.
+
+    ``calib_batches``: iterable of (surface_raw, overhead_raw) NHWC pairs in
+    the encoder's raw-pixel domain — after host geometry + synced rotation
+    (+ orientation-map channels, which are pre-encoded into the image domain:
+    ops/orientation_maps.append_orientation_maps), before the in-model [-1,1]
+    scaling."""
+    calib = list(calib_batches)
+    vs = {"params": state.params["surface"],
+          "batch_stats": state.batch_stats["surface"]}
+    vo = {"params": state.params["overhead"],
+          "batch_stats": state.batch_stats["overhead"]}
+    return (
+        quantize_baseline_tower_static(vs, [s for s, _ in calib], leaky_slope),
+        quantize_baseline_tower_static(vo, [o for _, o in calib], leaky_slope),
+    )
