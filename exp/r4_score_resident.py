@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Round 4: repeated-photo scoring against a resident 100k-tile index.
+
+exp/r4_sweep_100k.py measured score_all at ~78 s PER CALL over the 99,856-
+tile index — almost entirely the 1.6 GB gallery re-upload through the axon
+tunnel (the chunk-streaming design re-reads host embeds every call).
+GalleryIndex.score_all now defaults to a device-RESIDENT gallery FFT (the
+same cached table search() uses) for galleries under RESIDENT_BYTES_MAX;
+this times both modes against the index the 100k sweep left on disk.
+
+Run: PYTHONPATH=$PYTHONPATH:/root/repo python exp/r4_score_resident.py \
+       [--index /tmp/witw_100k_*/index.npz]
+"""
+
+import argparse
+import glob
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default=None)
+    args = ap.parse_args()
+    path = args.index or sorted(glob.glob("/tmp/witw_100k_*/index.npz"))[-1]
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from witw_tpu.evaluation.index import GalleryIndex
+
+    t0 = time.time()
+    idx = GalleryIndex.load(path)
+    print(f"loaded {len(idx)} tiles {idx.embeds.shape} "
+          f"({idx.embeds.nbytes/1e9:.2f} GB f32) in {time.time()-t0:.1f}s; "
+          f"resident bytes {idx._resident_bytes()/1e9:.2f} GB", flush=True)
+
+    n, h, w, c = idx.embeds.shape
+    sw = max(1, int(w * 70 / 360))  # serving FOV-70 query width
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((1, h, sw, c)).astype(np.float32)
+
+    # streaming mode (the old default): every call re-uploads the gallery
+    t0 = time.time()
+    d_s, o_s = idx.score_all(q, resident=False)
+    t_stream = time.time() - t0
+    print(f"streaming score_all: {t_stream:.2f}s", flush=True)
+
+    # resident mode: first call builds + uploads the gallery FFT once
+    t0 = time.time()
+    d_r, o_r = idx.score_all(q, resident=True)
+    t_first = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        d_r, o_r = idx.score_all(q, resident=True)
+        times.append(time.time() - t0)
+    np.testing.assert_allclose(d_r, d_s, rtol=1e-4, atol=1e-5)
+    print(f"resident score_all: first {t_first:.2f}s (build+upload), warm "
+          f"{', '.join(f'{t:.2f}' for t in times)} s", flush=True)
+    print(f"SUMMARY n={n} stream={t_stream:.2f}s resident_first={t_first:.2f}s "
+          f"resident_warm={min(times):.2f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
