@@ -60,8 +60,23 @@ def main():
     np.testing.assert_allclose(d_r, d_s, rtol=1e-4, atol=1e-5)
     print(f"resident score_all: first {t_first:.2f}s (build+upload), warm "
           f"{', '.join(f'{t:.2f}' for t in times)} s", flush=True)
+
+    # warm top-k serving latency (the daemon's exact search): single
+    # jitted chunk-sweep dispatch, only [Q, k] fetched
+    i1, d1, o1 = idx.search(q, k=10)  # compile
+    st = []
+    for _ in range(3):
+        t0 = time.time()
+        i1, d1, o1 = idx.search(q, k=10)
+        st.append(time.time() - t0)
+    # the top-1 must agree with the all-scores sweep
+    assert int(i1[0, 0]) == int(np.argmin(d_r[:, 0])), (i1[0, 0],
+                                                        np.argmin(d_r[:, 0]))
+    print(f"warm search k=10: {', '.join(f'{t:.3f}' for t in st)} s",
+          flush=True)
     print(f"SUMMARY n={n} stream={t_stream:.2f}s resident_first={t_first:.2f}s "
-          f"resident_warm={min(times):.2f}s", flush=True)
+          f"resident_warm={min(times):.2f}s search_warm={min(st):.3f}s",
+          flush=True)
 
 
 if __name__ == "__main__":

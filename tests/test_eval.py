@@ -417,3 +417,118 @@ def test_index_score_all_sharded_matches_single(rng):
         assert d2.shape == (n, n) and o2.shape == (n, n)
         np.testing.assert_allclose(d2, d1, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(o2, o1)
+
+
+# ---------------------------------------------------------------------------
+# VectorIndex — the SAFA/baseline families' flat-vector serving index
+# ---------------------------------------------------------------------------
+
+
+def _random_vectors(rng, n, d=24, q=None):
+    """Planted-structure unit vectors: query i is a noisy copy of gallery
+    item i, so top-1 is unambiguous and ranks aren't tie-sensitive."""
+    g = rng.standard_normal((n, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    qn = n if q is None else q
+    s = g[:qn] + 0.05 * rng.standard_normal((qn, d)).astype(np.float32)
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    return g, s
+
+
+def _brute_vector_topk(g, s, k):
+    d = np.sqrt(np.maximum(
+        np.sum(s * s, 1)[:, None] + np.sum(g * g, 1)[None, :]
+        - 2.0 * s @ g.T, 0.0))
+    idx = np.argsort(d, axis=1)[:, :k]
+    rows = np.arange(s.shape[0])[:, None]
+    return idx, d[rows, idx], d
+
+
+def test_vector_index_search_matches_bruteforce(rng):
+    """Single-dispatch whole-gallery top-k equals the numpy brute force on
+    planted-structure unit vectors."""
+    from witw_tpu.evaluation import VectorIndex
+
+    g, s = _random_vectors(rng, 50, d=24, q=20)
+    idx = VectorIndex(g)
+    i_got, d_got = idx.search(s, k=5)
+    i_want, d_want, _ = _brute_vector_topk(g, s, 5)
+    np.testing.assert_array_equal(i_got, i_want)
+    np.testing.assert_allclose(d_got, d_want, rtol=1e-5, atol=1e-6)
+
+
+def test_vector_index_score_all_modes_match(rng):
+    """score_all resident and streaming modes agree with each other and with
+    the brute-force distance matrix, including at a padded remainder."""
+    from witw_tpu.evaluation import VectorIndex
+
+    g, s = _random_vectors(rng, 37, d=16, q=9)
+    idx = VectorIndex(g)
+    d_res = idx.score_all(s, gallery_chunk=16, resident=True)
+    d_str = idx.score_all(s, gallery_chunk=16, resident=False)
+    _, _, d_want = _brute_vector_topk(g, s, 1)
+    np.testing.assert_allclose(d_res, d_want.T, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d_str, d_want.T, rtol=1e-5, atol=1e-6)
+    # resident mode cached the device gallery across calls
+    gal_before = idx._gal
+    assert gal_before is not None
+    idx.score_all(s, gallery_chunk=16, resident=True)
+    assert idx._gal is gal_before
+
+
+def test_vector_index_save_load_and_type_guard(rng, tmp_path):
+    """npz round trip preserves embeds + meta; loading an FOV-family
+    GalleryIndex file through VectorIndex fails loudly, not silently."""
+    from witw_tpu.evaluation import GalleryIndex, VectorIndex
+
+    g, _ = _random_vectors(rng, 12, d=8)
+    meta = {"x": np.arange(12.0), "precision": "f32", "params_sha": "abc"}
+    idx = VectorIndex(g, meta=meta)
+    p = str(tmp_path / "vec_idx")
+    idx.save(p)
+    loaded = VectorIndex.load(p)
+    np.testing.assert_array_equal(loaded.embeds, idx.embeds)
+    assert str(loaded.meta["precision"]) == "f32"
+    np.testing.assert_array_equal(loaded.meta["x"], meta["x"])
+
+    o, _ = _random_embeds(rng, 6)
+    GalleryIndex(o).save(str(tmp_path / "fft_idx"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="GalleryIndex"):
+        VectorIndex.load(str(tmp_path / "fft_idx"))
+    with _pytest.raises(AssertionError, match="GalleryIndex"):
+        VectorIndex(o)
+
+
+def test_vector_index_sharded_matches_single(rng):
+    """search_sharded / score_all_sharded on an 8-device mesh equal the
+    single-device paths, including when N pads the device and chunk splits
+    and when k exceeds one shard's item count."""
+    from witw_tpu.evaluation import VectorIndex
+
+    for n in (32, 27):
+        g, s = _random_vectors(rng, n, d=16, q=10)
+        idx = VectorIndex(g)
+        mesh = make_mesh(n_data=8)
+        idx.place_sharded(mesh, gallery_chunk=4, max_k=8)
+        assert len(idx.last_gallery_sharding.device_set) == 8
+        i_sh, d_sh = idx.search_sharded(s, k=5)
+        i_e, d_e = idx.search(s, k=5)
+        np.testing.assert_array_equal(i_sh, i_e)
+        np.testing.assert_allclose(d_sh, d_e, rtol=1e-5, atol=1e-6)
+
+        d_all_sh = idx.score_all_sharded(s)
+        d_all = idx.score_all(s, gallery_chunk=8)
+        np.testing.assert_allclose(d_all_sh, d_all, rtol=1e-5, atol=1e-6)
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            idx.search_sharded(s, k=9)
+
+    # lazy placement via mesh= kwarg
+    g, s = _random_vectors(rng, 24, d=16)
+    idx2 = VectorIndex(g)
+    i_l, d_l = idx2.search_sharded(s, k=3, mesh=make_mesh(n_data=8))
+    i_e, d_e = idx2.search(s, k=3)
+    np.testing.assert_array_equal(i_l, i_e)
+    np.testing.assert_allclose(d_l, d_e, rtol=1e-5, atol=1e-6)

@@ -759,3 +759,206 @@ def test_serving_warmup_restores_stats_and_serves(rng):
         assert service.stats["requests"] == 1
     finally:
         service.close()
+
+
+@pytest.mark.slow
+def test_heatmap_sweep_safa_family(tmp_path, rng):
+    """--family safa sweep: VGG16+SAFA towers embed tiles to unit VECTORS
+    (VectorIndex cache), tiles score by plain Euclidean distance, the CSV has
+    no orientation column, and a family mismatch at the cache path rebuilds
+    instead of serving the other family's embeddings. Reduced geometry: the
+    int8 leg runs through XLA:CPU's slow int8 conv lowering (NOTES.md)."""
+    import dataclasses
+
+    import jax
+
+    from witw_tpu.configs import safa_experiment
+    from witw_tpu.evaluation.vector_index import VectorIndex
+    from witw_tpu.tools.heatmap import SATURATION_WARN_FRACTION, sweep
+    from witw_tpu.train.pipeline import make_pipeline
+
+    cfg = safa_experiment(dataset="witw", fov=90)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, surface_height=32, surface_width_max=128,
+            overhead_size=64,
+        ),
+    )
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    e0, n0 = 447600.0, 5411900.0
+    strip = rng.integers(1, 255, size=(1200, 1200, 3), dtype=np.uint8)
+    gtf = np.array([e0, 0.3, 0, n0, 0, -0.3])
+    sat_path = str(tmp_path / "03_paris.tif")
+    gt.write_geotiff_u8(sat_path, strip, gtf, 32631)
+
+    from PIL import Image
+
+    photo_path = str(tmp_path / "img.jpg")
+    Image.fromarray(
+        rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+    ).save(photo_path)
+
+    csv_path = str(tmp_path / "match.csv")
+    bounds = (e0 + 30, n0 - 250, e0 + 250, n0 - 30)
+    cache = str(tmp_path / "tiles_safa.npz")
+    frame = sweep(sat_path, photo_path, csv_path, bounds,
+                  edge=225.0, offset=112.5, fov=90, state=state,
+                  index_cache=cache, verbose=False, cfg=cfg, family="safa")
+    assert set(frame.columns) == {"x", "y", "dissimilarity", "score"}
+    assert len(frame) >= 4
+    assert np.all(np.isfinite(frame["score"]))
+    assert np.all(frame["dissimilarity"] >= 0)
+    idx = VectorIndex.load(cache)
+    assert idx.embeds.ndim == 2
+    assert str(idx.meta.get("family")) == "safa"
+    # unit embeddings from the SAFA head
+    np.testing.assert_allclose(
+        np.linalg.norm(idx.embeds, axis=1), 1.0, rtol=1e-4
+    )
+
+    # cache hit reproduces scores; sharded scoring matches
+    frame2 = sweep(sat_path, photo_path, csv_path, bounds,
+                   edge=225.0, offset=112.5, fov=90, state=state,
+                   index_cache=cache, verbose=False, cfg=cfg, family="safa")
+    np.testing.assert_allclose(frame2["score"], frame["score"], rtol=1e-6)
+    from witw_tpu.parallel import make_mesh
+
+    frame_sh = sweep(sat_path, photo_path, str(tmp_path / "m_sh.csv"), bounds,
+                     edge=225.0, offset=112.5, fov=90, state=state,
+                     index_cache=cache, verbose=False, cfg=cfg, family="safa",
+                     mesh=make_mesh(n_data=8))
+    np.testing.assert_allclose(frame_sh["score"], frame["score"], rtol=1e-5)
+
+    # an FOV sweep pointed at the safa cache must rebuild (type + family
+    # mismatch), not serve vector embeddings through the FFT scorer
+    from witw_tpu.configs import fov_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+
+    cfg_fov = fov_experiment(dataset="witw", fov=90)
+    cfg_fov = dataclasses.replace(
+        cfg_fov,
+        data=dataclasses.replace(
+            cfg_fov.data, surface_height=32, surface_width_max=128,
+            overhead_size=64,
+        ),
+    )
+    pipeline_fov = make_pipeline(cfg_fov)
+    state_fov = pipeline_fov.init(jax.random.PRNGKey(0))
+    frame_fov = sweep(sat_path, photo_path, str(tmp_path / "m_fov.csv"),
+                      bounds, edge=225.0, offset=112.5, fov=90,
+                      state=state_fov, index_cache=cache, verbose=False,
+                      cfg=cfg_fov)
+    assert "orientation" in frame_fov.columns
+    assert GalleryIndex.load(cache).embeds.ndim == 4  # rebuilt as FOV
+
+    # int8 leg: static SAFA trunk, saturation recorded, int8-stamped cache
+    cache8 = str(tmp_path / "tiles_safa8.npz")
+    frame8 = sweep(sat_path, photo_path, csv_path, bounds,
+                   edge=225.0, offset=112.5, fov=90, state=state,
+                   index_cache=cache8, int8=True, verbose=False, cfg=cfg,
+                   family="safa", batch_size=8)
+    meta8 = VectorIndex.load(cache8).meta
+    assert str(meta8.get("precision")) == "int8"
+    assert str(meta8.get("family")) == "safa"
+    sat = float(meta8.get("int8_saturation"))
+    assert 0.0 <= sat < SATURATION_WARN_FRACTION
+    assert np.all(np.isfinite(frame8["score"]))
+    # int8 trunk tracks the f32 scores (rank-preserving quantization)
+    assert np.corrcoef(frame8["dissimilarity"], frame["dissimilarity"])[0, 1] > 0.9
+
+
+@pytest.mark.slow
+def test_serving_daemon_safa_family(rng):
+    """--family safa daemon: embeds queries with the SAFA surface tower,
+    searches a VectorIndex, answers with orientation_deg null; index/family
+    type mismatches are refused at construction."""
+    import dataclasses
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    import jax
+    from PIL import Image
+
+    from witw_tpu.configs import safa_experiment
+    from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.evaluation.vector_index import VectorIndex
+    from witw_tpu.tools.serve import GeolocateService, serve
+    from witw_tpu.train.pipeline import make_pipeline
+
+    cfg = safa_experiment(dataset="witw", fov=70)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, surface_height=32, surface_width_max=128,
+            overhead_size=64,
+        ),
+    )
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    n, dim = 12, cfg.model.num_heads * 512  # SAFA embeds are [M*C]
+    embeds = rng.standard_normal((n, dim)).astype(np.float32)
+    embeds /= np.linalg.norm(embeds, axis=1, keepdims=True)
+    index = VectorIndex(
+        embeds,
+        meta={"x": np.arange(n, dtype=np.float64) * 100.0,
+              "y": np.arange(n, dtype=np.float64) * -50.0},
+    )
+
+    # family/index type mismatches fail loudly at construction
+    with pytest.raises(ValueError, match="GalleryIndex"):
+        GeolocateService(index, cfg, state, family="fov")
+    with pytest.raises(ValueError, match="VectorIndex"):
+        GeolocateService(
+            GalleryIndex(rng.standard_normal((4, 2, 8, 4)).astype(np.float32)),
+            cfg, state, family="safa",
+        )
+
+    service = GeolocateService(index, cfg, state, family="safa")
+    server = serve(service, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["family"] == "safa" and health["gallery_size"] == n
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/geolocate?k=3", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        results = out["results"]
+        assert len(results) == 3
+        assert (results[0]["distance"] <= results[1]["distance"]
+                <= results[2]["distance"])
+        for item in results:
+            assert item["orientation_deg"] is None
+            assert np.isfinite(item["score"])
+
+        # candidates> 0 is served exactly for vector families (their exact
+        # search is already one GEMM per chunk) — same results, exact counter
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/geolocate?k=3&candidates=8",
+            data=buf.getvalue(), method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out2 = json.loads(r.read())
+        assert [it["tile"] for it in out2["results"]] == [
+            it["tile"] for it in results
+        ]
+        assert service.stats["exact_searches"] == 2
+        assert service.stats["approx_searches"] == 0
+    finally:
+        server.shutdown()
+        service.close()

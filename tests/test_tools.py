@@ -485,6 +485,9 @@ def test_heatmap_cache_staleness_predicate():
     assert _cache_is_stale(idx, 4, xs + 1.0, "f32")         # grid centers
     assert _cache_is_stale(idx, 4, xs, "int8")              # precision
     assert _cache_is_stale(idx, 4, xs, "f32", "OTHER")      # weights changed
+    # family: unstamped caches default to fov; a safa sweep must rebuild them
+    assert _cache_is_stale(idx, 4, xs, "f32", family="safa")
+    assert not _cache_is_stale(idx, 4, xs, "f32", family="fov")
     bare = GalleryIndex(emb)                                # no meta at all
     assert _cache_is_stale(bare, 4, xs, "f32")
     assert _cache_is_stale(bare, 4, xs, "f32", "abc")       # no recorded sha
@@ -817,3 +820,74 @@ def test_aoi_band_orders_match_reference():
     assert CITIES["san"].epsg == 32620
     for c in ("moscow", "mumbai", "san", "dar"):
         assert CITIES[c].satellite == "WorldView-3"
+
+
+def test_build_index_safa_family(tmp_path):
+    """--family safa builds a VectorIndex: embeddings match a manual
+    VGG16+SAFA overhead-tower pass (unit vectors), the family is stamped in
+    the meta, and the saved index answers Euclidean top-k searches."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from witw_tpu.configs import safa_experiment
+    from witw_tpu.data import write_synthetic_dataset
+    from witw_tpu.data.csv_registry import read_pair_paths
+    from witw_tpu.data.loader import decode_image, resize_host
+    from witw_tpu.evaluation.vector_index import VectorIndex
+    from witw_tpu.ops.image import normalize_images
+    from witw_tpu.ops.polar import polar_transform
+    from witw_tpu.tools.build_index import build_index
+    from witw_tpu.train.pipeline import make_pipeline
+
+    csv_path = write_synthetic_dataset(
+        str(tmp_path / "data"), n=5, schema="witw",
+        surface_hw=(32, 64), overhead_hw=(32, 32),
+    )
+    cfg = safa_experiment(dataset="witw", fov=360)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, surface_height=32, surface_width_max=64,
+            overhead_size=32),
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"),
+    )
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    out = str(tmp_path / "gallery_safa.npz")
+    index = build_index(
+        csv_path, out, dataset="witw", fov=360, batch_size=2,
+        state=state, cfg=cfg, verbose=False, family="safa",
+    )
+    assert len(index) == 5 and index.embeds.ndim == 2
+
+    pairs = read_pair_paths(cfg.data.dataset, csv_path)
+    tiles = np.stack([
+        resize_host(decode_image(o).astype(np.float32), 32, 32)
+        for _, o in pairs
+    ])
+    polar = polar_transform(
+        normalize_images(jnp.asarray(tiles), cfg.data.img_mean,
+                         cfg.data.img_std), 32, 64)
+    want = np.asarray(pipeline.overhead_model.apply(
+        {"params": state.params["overhead"]}, polar))
+    np.testing.assert_allclose(index.embeds, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(index.embeds, axis=1), 1.0, rtol=1e-5)
+
+    loaded = VectorIndex.load(out)
+    assert str(loaded.meta["family"]) == "safa"
+    assert str(loaded.meta["precision"]) == "f32"
+
+    q = np.asarray(pipeline.surface_model.apply(
+        {"params": state.params["surface"]},
+        normalize_images(
+            jnp.asarray(np.stack([
+                resize_host(decode_image(s).astype(np.float32), 32, 64)
+                for s, _ in pairs[:2]
+            ])), cfg.data.img_mean, cfg.data.img_std),
+    ))
+    idx, dist = loaded.search(q, k=3)
+    assert idx.shape == (2, 3) and np.all(np.isfinite(dist))
+    assert np.all(np.diff(dist, axis=1) >= 0)

@@ -4,5 +4,12 @@ from witw_tpu.evaluation.gallery import (
     metrics_from_ranks,
 )
 from witw_tpu.evaluation.index import GalleryIndex
+from witw_tpu.evaluation.vector_index import VectorIndex
 
-__all__ = ["FovGalleryEvaluator", "euclidean_ranks", "metrics_from_ranks", "GalleryIndex"]
+__all__ = [
+    "FovGalleryEvaluator",
+    "euclidean_ranks",
+    "metrics_from_ranks",
+    "GalleryIndex",
+    "VectorIndex",
+]

@@ -143,7 +143,18 @@ class GalleryIndex:
             resident = self._resident_bytes() <= self.RESIDENT_BYTES_MAX
         fs, s_norm = query_fft(jnp.asarray(surface_embeds), w)
         if resident:
+            # ONE dispatch + one [N, Q] fetch: a lax.map over fixed-size
+            # chunks inside a single jitted program. The per-chunk host loop
+            # this replaces cost one dispatch+fetch round trip per chunk
+            # (~50 ms each through the axon tunnel — 49 chunks at 100k tiles
+            # was ~2.5 s of pure latency per scored photo, NOTES.md round 4c).
             fo, wsq = self._gallery_fft(sw)
+            n_chunks = -(-n // gallery_chunk)
+            fn = _make_resident_scoreall(w, min(gallery_chunk, n), n_chunks,
+                                         n, fast)
+            d, orient = fn(fo, wsq, fs, s_norm)
+            return (np.asarray(d).astype(np.float32),
+                    np.asarray(orient).astype(np.int32))
 
         out_d = np.empty((n, q), np.float32)
         out_o = np.empty((n, q), np.int32)
@@ -151,22 +162,16 @@ class GalleryIndex:
             stop = min(start + gallery_chunk, n)
             real = stop - start
             pad = gallery_chunk - real if (real < gallery_chunk and n > gallery_chunk) else 0
-            if resident:
-                fo_c, wsq_c = fo[start:stop], wsq[start:stop]
-                if pad:
-                    fo_c = jnp.pad(fo_c, ((0, pad), (0, 0), (0, 0), (0, 0)))
-                    wsq_c = jnp.pad(wsq_c, ((0, pad), (0, 0)))
-            else:
-                # chunk FFT/norms computed here from the host-resident
-                # embeds: device memory stays O(gallery_chunk)
-                gal_c = np.asarray(self.embeds[start:stop], np.float32)
-                if pad:
-                    gal_c = np.pad(
-                        gal_c, ((0, pad), (0, 0), (0, 0), (0, 0))
-                    )
-                gal_c = jnp.asarray(gal_c)
-                fo_c = jnp.fft.rfft(gal_c, axis=2)
-                wsq_c = window_sq_norms(gal_c, sw)
+            # chunk FFT/norms computed here from the host-resident
+            # embeds: device memory stays O(gallery_chunk)
+            gal_c = np.asarray(self.embeds[start:stop], np.float32)
+            if pad:
+                gal_c = np.pad(
+                    gal_c, ((0, pad), (0, 0), (0, 0), (0, 0))
+                )
+            gal_c = jnp.asarray(gal_c)
+            fo_c = jnp.fft.rfft(gal_c, axis=2)
+            wsq_c = window_sq_norms(gal_c, sw)
             d, orient = _chunk_distances(fo_c, wsq_c, fs, s_norm, w=w, fast=fast)
             out_d[start:stop] = np.asarray(d)[:real]
             out_o[start:stop] = np.asarray(orient)[:real]
@@ -460,46 +465,29 @@ class GalleryIndex:
 
         surface_embeds: [Q, h, sw, c]. Returns (indices [Q, k],
         distances [Q, k], orientations [Q, k]) sorted by ascending chord
-        distance. Blockwise over gallery chunks; top-k merged on host.
-        ``fast``: bf16 frequency product (opt-in approximation).
+        distance. Chunked on device inside ONE jitted dispatch (lax.map over
+        fixed-size chunks, per-chunk top-k, on-device merge) — a warm search
+        costs one round trip and fetches only the [Q, k] results, instead of
+        one dispatch+fetch per chunk (~50 ms each through the axon tunnel;
+        ~49 chunks at 100k tiles). ``fast``: bf16 frequency product (opt-in
+        approximation).
         """
         n = len(self.embeds)
-        q = surface_embeds.shape[0]
         sw = surface_embeds.shape[2]
         w = self.embeds.shape[2]
+        k = min(k, n)
         fo, wsq = self._gallery_fft(sw)
         fs, s_norm = query_fft(jnp.asarray(surface_embeds), w)
 
-        best_d = np.full((q, k), np.inf, np.float32)
-        best_i = np.full((q, k), -1, np.int64)
-        best_o = np.zeros((q, k), np.int32)
-        for start in range(0, n, gallery_chunk):
-            stop = min(start + gallery_chunk, n)
-            fo_c, wsq_c = fo[start:stop], wsq[start:stop]
-            real = stop - start
-            if real < gallery_chunk and n > gallery_chunk:
-                # pad the remainder chunk to the fixed shape so the serving
-                # path keeps exactly one compiled kernel per gallery width
-                pad = gallery_chunk - real
-                fo_c = jnp.pad(fo_c, ((0, pad), (0, 0), (0, 0), (0, 0)))
-                wsq_c = jnp.pad(wsq_c, ((0, pad), (0, 0)))
-            d, orient = _chunk_distances(fo_c, wsq_c, fs, s_norm, w=w, fast=fast)
-            d = np.asarray(d).T[:, :real]  # [Q, G_real]; drop pad entries
-            orient = np.asarray(orient).T[:, :real]
-            cand_d = np.concatenate([best_d, d], axis=1)
-            cand_i = np.concatenate(
-                [best_i, np.broadcast_to(np.arange(start, stop)[None, :], d.shape)],
-                axis=1,
-            )
-            cand_o = np.concatenate([best_o, orient], axis=1)
-            sel = np.argpartition(cand_d, k - 1, axis=1)[:, :k]
-            rows = np.arange(q)[:, None]
-            best_d = cand_d[rows, sel]
-            best_i = cand_i[rows, sel]
-            best_o = cand_o[rows, sel]
-        order = np.argsort(best_d, axis=1)
-        rows = np.arange(q)[:, None]
-        return best_i[rows, order], best_d[rows, order], best_o[rows, order]
+        chunk = max(min(gallery_chunk, n), k)  # per-chunk top-k needs k<=chunk
+        n_chunks = -(-n // chunk)
+        fn = _make_resident_topk(w, chunk, n_chunks, n, k, fast)
+        d, i, orient = fn(fo, wsq, fs, s_norm)
+        return (
+            np.asarray(i).astype(np.int64),
+            np.asarray(d).astype(np.float32),
+            np.asarray(orient).astype(np.int32),
+        )
 
 
 def _fetch_sharded(x) -> np.ndarray:
@@ -509,6 +497,79 @@ def _fetch_sharded(x) -> np.ndarray:
     from witw_tpu.evaluation.gallery import _fetch
 
     return _fetch(x)
+
+
+def _pad_chunked(fo, wsq, n: int, chunk: int, n_chunks: int):
+    """Pad a resident gallery FFT + window-norm table to a whole number of
+    chunks and reshape to [C, chunk, ...] for lax.map (runs inside jit; the
+    pad copy is device-side HBM traffic, not a host round trip)."""
+    n_pad = chunk * n_chunks
+    if n_pad > n:
+        fo = jnp.pad(fo, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
+        wsq = jnp.pad(wsq, ((0, n_pad - n), (0, 0)))
+    fo = fo.reshape(n_chunks, chunk, *fo.shape[1:])
+    wsq = wsq.reshape(n_chunks, chunk, wsq.shape[1])
+    return fo, wsq
+
+
+@lru_cache(maxsize=32)
+def _make_resident_scoreall(w: int, chunk: int, n_chunks: int, n: int,
+                            fast: bool):
+    """Single-dispatch all-scores sweep over the device-resident gallery FFT
+    (single-device analogue of _make_sharded_scoreall): lax.map over fixed-
+    size chunks, one [N, Q] result fetch. Replaces a one-round-trip-per-chunk
+    host loop (~50 ms per dispatch through the axon tunnel)."""
+
+    def run(fo, wsq, fs, s_norm):
+        fo_c, wsq_c = _pad_chunked(fo, wsq, n, chunk, n_chunks)
+
+        def one_chunk(args):
+            f_c, w_c = args
+            return gallery_vs_queries(f_c, w_c, fs, s_norm, w, fast)
+
+        d, o = jax.lax.map(one_chunk, (fo_c, wsq_c))  # [C, chunk, Q]
+        q = s_norm.shape[0]
+        return d.reshape(-1, q)[:n], o.reshape(-1, q)[:n]
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=32)
+def _make_resident_topk(w: int, chunk: int, n_chunks: int, n: int, k: int,
+                        fast: bool):
+    """Single-dispatch chunked top-k over the device-resident gallery FFT
+    (single-device analogue of _make_sharded_topk's local function): per-
+    chunk top-k + one on-device merge; only the [Q, k] results cross the
+    host link. Padded tail rows are masked to +inf so they never rank."""
+
+    def run(fo, wsq, fs, s_norm):
+        fo_c, wsq_c = _pad_chunked(fo, wsq, n, chunk, n_chunks)
+        valid = (jnp.arange(n_chunks * chunk) < n).reshape(n_chunks, chunk)
+
+        def one_chunk(args):
+            f_c, w_c, v = args
+            d, o = gallery_vs_queries(f_c, w_c, fs, s_norm, w, fast)  # [G, Q]
+            d = jnp.where(v[:, None], d, jnp.inf)
+            neg_d, idx = jax.lax.top_k(-d.T, k)  # [Q, k] over the chunk axis
+            oo = jnp.take_along_axis(o.T, idx, axis=1)
+            return -neg_d, idx, oo
+
+        ds, idxs, os_ = jax.lax.map(
+            one_chunk, (fo_c, wsq_c, valid)
+        )  # [C, Q, k] each
+        q = s_norm.shape[0]
+        gidx = idxs + (jnp.arange(n_chunks) * chunk)[:, None, None]
+        d_flat = jnp.moveaxis(ds, 0, 1).reshape(q, -1)
+        i_flat = jnp.moveaxis(gidx, 0, 1).reshape(q, -1)
+        o_flat = jnp.moveaxis(os_, 0, 1).reshape(q, -1)
+        neg_d, sel = jax.lax.top_k(-d_flat, k)  # ascending distance order
+        return (
+            -neg_d,
+            jnp.take_along_axis(i_flat, sel, axis=1),
+            jnp.take_along_axis(o_flat, sel, axis=1),
+        )
+
+    return jax.jit(run)
 
 
 @lru_cache(maxsize=32)

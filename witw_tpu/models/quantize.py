@@ -679,7 +679,8 @@ def static_int8_saturation(sq, x, circ_padding: bool = False) -> float:
 SATURATION_WARN_FRACTION = 0.01
 
 
-def calibrate_overhead_span(tower_params, read_item, n, sample_size, preprocess):
+def calibrate_overhead_span(tower_params, read_item, n, sample_size,
+                            preprocess, quantize_fn=None):
     """Grid/gallery-SPANNING static-int8 calibration for an overhead tower.
 
     Samples ``sample_size`` items evenly over [0, n) (first-batch-only
@@ -688,21 +689,43 @@ def calibrate_overhead_span(tower_params, read_item, n, sample_size, preprocess)
     polar), and returns ``(sq_params, items)`` where ``items`` maps sampled
     index -> the already-read array so embed loops don't re-read them.
     Shared by the heatmap sweep and the index builder — the two int8 gallery
-    entry points must keep one coverage contract."""
+    entry points must keep one coverage contract.
+
+    ``quantize_fn(tower_params, calib_batches, circ_padding)`` selects the
+    family's static folder (default: the FOV towers'
+    quantize_tower_static; SAFA sweeps pass quantize_safa_tower_static)."""
+    if quantize_fn is None:
+        quantize_fn = quantize_tower_static
     calib_idx = np.unique(np.linspace(0, n - 1, min(n, sample_size)).astype(int))
     calib = np.stack([read_item(int(i)) for i in calib_idx])
     items = dict(zip(calib_idx.tolist(), calib))
     polar_c = preprocess(jnp.asarray(calib))
-    sq = quantize_tower_static(tower_params, [np.asarray(polar_c)], True)
+    sq = quantize_fn(tower_params, [np.asarray(polar_c)], True)
     return sq, items
 
 
+def static_int8_saturation_safa(sq_head, x, circ_padding: bool = False) -> float:
+    """static_int8_saturation for a SAFA tower's (sq, head) pair — same
+    clip-fraction contract over the int8 trunk's requantized activations."""
+    sats: list = []
+    quantized_safa_forward_static(
+        sq_head[0], sq_head[1], x, circ_padding, saturation_out=sats
+    )
+    hits = sum(int(h) for h, _ in sats)
+    total = sum(t for _, t in sats)
+    return hits / max(total, 1)
+
+
 def check_saturation(sq, x, circ_padding: bool = True,
-                     context: str = "input") -> float:
+                     context: str = "input", saturation_fn=None) -> float:
     """Measure clip fraction on a held-out batch and warn above the
     SATURATION_WARN_FRACTION threshold. Returns the fraction (recorded into
-    index metadata by callers)."""
-    frac = static_int8_saturation(sq, x, circ_padding)
+    index metadata by callers). ``saturation_fn`` selects the family's
+    measurement (default: the FOV towers'; SAFA passes
+    static_int8_saturation_safa)."""
+    if saturation_fn is None:
+        saturation_fn = static_int8_saturation
+    frac = saturation_fn(sq, x, circ_padding)
     if frac > SATURATION_WARN_FRACTION:
         import warnings
 

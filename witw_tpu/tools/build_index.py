@@ -37,10 +37,15 @@ def build_index(
     state=None,
     cfg=None,
     verbose: bool = True,
+    family: str = "fov",
 ):
     """Embed every overhead tile listed in ``csv_path`` with the overhead
     tower and persist a GalleryIndex (embeddings + optional CSV metadata
     columns + precision/weights fingerprint) to ``out_path``.
+
+    ``family="safa"`` embeds with the VGG16+SAFA overhead tower into a
+    :class:`~witw_tpu.evaluation.vector_index.VectorIndex` (unit vectors,
+    Euclidean serving — the daemon's ``--family safa``).
 
     ``meta_cols``: CSV column names copied into the index meta; a
     ``"src:dst"`` entry renames on the way in (e.g. ``["lon:x", "lat:y"]``
@@ -61,13 +66,21 @@ def build_index(
     from witw_tpu.train.pipeline import make_pipeline
     from witw_tpu.utils.hashing import params_fingerprint
 
+    if family not in ("fov", "safa"):
+        raise ValueError(f"unsupported index family {family!r}")
+    vector = family == "safa"
     if cfg is None:
-        cfg = fov_experiment(dataset=dataset, fov=fov)
+        if vector:
+            from witw_tpu.configs import safa_experiment
+
+            cfg = safa_experiment(dataset=dataset, fov=fov)
+        else:
+            cfg = fov_experiment(dataset=dataset, fov=fov)
     d = cfg.data
     pipeline = make_pipeline(cfg)
     if state is None:
         ckpt = Checkpointer(
-            os.path.join(checkpoint_dir, tag or f"fov_{fov}_{dataset}")
+            os.path.join(checkpoint_dir, tag or f"{family}_{fov}_{dataset}")
         )
         state = ckpt.restore("best", pipeline.init(jax.random.PRNGKey(0)))
 
@@ -91,10 +104,15 @@ def build_index(
 
     @jax.jit
     def embed(params, x):
-        from witw_tpu.models.quantize import quantized_fov_forward_static
+        from witw_tpu.models.quantize import (
+            quantized_fov_forward_static,
+            quantized_safa_forward_static,
+        )
 
         polar = _preprocess(x)
         if int8:
+            if vector:
+                return quantized_safa_forward_static(*sq_box[0], polar, True)
             return quantized_fov_forward_static(sq_box[0], polar, True)
         return pipeline.overhead_model.apply({"params": params["overhead"]},
                                              polar)
@@ -102,13 +120,17 @@ def build_index(
     sat_frac = None
     calib_tiles = {}
     if int8:
-        from witw_tpu.models.quantize import calibrate_overhead_span
+        from witw_tpu.models.quantize import (
+            calibrate_overhead_span,
+            quantize_safa_tower_static,
+        )
 
         # gallery-spanning calibration sample (same coverage contract as the
         # heatmap sweep); sampled tiles are reused in the embed loop
         sq_box[0], calib_tiles = calibrate_overhead_span(
             state.params["overhead"], lambda i: read_tile(overhead_paths[i]),
             n, batch_size, _preprocess,
+            quantize_fn=quantize_safa_tower_static if vector else None,
         )
 
     buf = np.zeros((batch_size, d.overhead_size, d.overhead_size, d.channels),
@@ -121,11 +143,16 @@ def build_index(
             buf[j] = read_tile(overhead_paths[start + j]) if tile is None else tile
         buf[stop - start:] = 0.0
         if int8 and sat_frac is None:
-            from witw_tpu.models.quantize import check_saturation
+            from witw_tpu.models.quantize import (
+                check_saturation,
+                static_int8_saturation_safa,
+            )
 
             sat_frac = check_saturation(
                 sq_box[0], _preprocess(jnp.asarray(buf)), True,
                 context="gallery",
+                saturation_fn=(static_int8_saturation_safa if vector
+                               else None),
             )
         parts.append(
             np.asarray(embed(state.params, jnp.asarray(buf)))[: stop - start]
@@ -134,6 +161,7 @@ def build_index(
 
     meta = {
         "precision": "int8" if int8 else "f32",
+        "family": family,
         "params_sha": params_fingerprint(state.params["overhead"]),
         "path": np.asarray(overhead_paths),
     }
@@ -166,7 +194,12 @@ def build_index(
                 else vals.astype(str)
             )
 
-    index = GalleryIndex(embeds, meta=meta)
+    if vector:
+        from witw_tpu.evaluation.vector_index import VectorIndex
+
+        index = VectorIndex(embeds, meta=meta)
+    else:
+        index = GalleryIndex(embeds, meta=meta)
     if out_path:
         index.save(out_path)
         if verbose:
@@ -188,6 +221,10 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--int8", action="store_true",
                         help="embed with the static-int8 towers")
+    parser.add_argument("--family", choices=("fov", "safa"), default="fov",
+                        help="tower/index family: fov = FOV-DSM feature-map "
+                             "GalleryIndex (default); safa = VGG16+SAFA "
+                             "Euclidean VectorIndex")
     parser.add_argument("--meta-cols", default=None,
                         help="comma-separated CSV columns to copy into the "
                              "index meta; 'src:dst' renames (e.g. "
@@ -198,6 +235,7 @@ def main(argv=None):
         checkpoint_dir=args.weights, tag=args.tag,
         batch_size=args.batch_size, int8=args.int8,
         meta_cols=args.meta_cols.split(",") if args.meta_cols else None,
+        family=args.family,
     )
 
 

@@ -56,13 +56,13 @@ def window_grid(
 
 
 def _cache_is_stale(index, n_windows, centers_e, want_precision,
-                    params_sha=None, tile_dtype="float32"):
+                    params_sha=None, tile_dtype="float32", family="fov"):
     """True when a cached embedding index cannot serve this sweep: tile grid
     changed (count or centers), the towers' precision differs (an f32
-    gallery must never be scored against an int8 query embedding), or the
-    overhead tower's WEIGHTS changed — re-running after retraining with the
-    same grid must not serve the old checkpoint's embeddings (VERDICT r2
-    weak #5)."""
+    gallery must never be scored against an int8 query embedding), the model
+    FAMILY differs (FOV feature maps vs SAFA vectors), or the overhead
+    tower's WEIGHTS changed — re-running after retraining with the same grid
+    must not serve the old checkpoint's embeddings (VERDICT r2 weak #5)."""
     cached_x = np.asarray(index.meta.get("x", []))
     return (
         len(index) != n_windows
@@ -70,6 +70,7 @@ def _cache_is_stale(index, n_windows, centers_e, want_precision,
         or not np.allclose(cached_x, centers_e)
         or str(index.meta.get("precision", "f32")) != want_precision
         or str(index.meta.get("tile_dtype", "float32")) != tile_dtype
+        or str(index.meta.get("family", "fov")) != family
         or (params_sha is not None
             and str(index.meta.get("params_sha", "")) != params_sha)
     )
@@ -94,6 +95,7 @@ def sweep(
     cfg=None,
     mesh=None,
     tile_dtype: str = "float32",
+    family: str = "fov",
 ) -> pd.DataFrame:
     """``index_cache``: optional .npz path; when set, the embedded tile
     gallery (a GalleryIndex with tile centers) is loaded from/saved to it so
@@ -114,6 +116,15 @@ def sweep(
     reference-lowering speed, so full-geometry int8 sweeps are unusable on
     CPU) or custom experiment variants.
 
+    ``family="safa"`` sweeps with the VGG16+SAFA towers instead of the FOV
+    pair: tiles and photo embed to unit VECTORS (a VectorIndex, not the FFT
+    GalleryIndex) and tiles are scored by plain Euclidean distance — the CSV
+    then has no ``orientation`` column (the global embedding carries no
+    orientation axis; the polar transform supplies rough alignment). The
+    reference heatmap tool is FOV-only (heatmap.py:16 imports cvig_fov);
+    this extends the same sweep to the vector families. ``int8`` quantizes
+    the SAFA trunk statically (measured 1.35x f32 on v5e, BASELINE.md).
+
     ``tile_dtype="uint8"`` streams resampled tiles to the device as uint8
     (rounded; cast to f32 on device) — 4x less host->device traffic, the
     dominant cost of a 100k-tile sweep through a slow host link. The WITW
@@ -129,17 +140,28 @@ def sweep(
     from witw_tpu.train.pipeline import make_pipeline
     import jax.numpy as jnp
 
+    if family not in ("fov", "safa"):
+        raise ValueError(f"unsupported sweep family {family!r}")
+    vector = family == "safa"
     if cfg is None:
-        cfg = fov_experiment(dataset="witw", fov=fov)
+        if vector:
+            from witw_tpu.configs import safa_experiment
+
+            cfg = safa_experiment(dataset="witw", fov=fov)
+        else:
+            cfg = fov_experiment(dataset="witw", fov=fov)
     d = cfg.data
     pipeline = make_pipeline(cfg)
     if state is None:
         ckpt = Checkpointer(
-            os.path.join(checkpoint_dir, tag or f"fov_{fov}_witw")
+            os.path.join(checkpoint_dir, tag or f"{family}_{fov}_witw")
         )
         state = ckpt.restore("best", pipeline.init(jax.random.PRNGKey(0)))
 
     from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.evaluation.vector_index import VectorIndex
+
+    index_cls = VectorIndex if vector else GalleryIndex
     from witw_tpu.utils.hashing import params_fingerprint
 
     # --- tile grid ---
@@ -155,10 +177,14 @@ def sweep(
         # probe must look at the same file
         index_cache = GalleryIndex._npz_path(index_cache)
     if index_cache and os.path.exists(index_cache):
-        cached_index = GalleryIndex.load(index_cache)
-        if _cache_is_stale(cached_index, len(windows), centers_e,
-                           "int8" if int8 else "f32", params_sha, tile_dtype):
-            cached_index = None  # stale: grid, precision, or weights changed
+        try:
+            cached_index = index_cls.load(index_cache)
+        except ValueError:
+            cached_index = None  # other family's index type at this path
+        if cached_index is not None and _cache_is_stale(
+                cached_index, len(windows), centers_e,
+                "int8" if int8 else "f32", params_sha, tile_dtype, family):
+            cached_index = None  # stale: grid, precision, family, or weights
 
     # --- query photo(s): one embed batch, one sweep for all of them ---
     photo_paths = (
@@ -180,20 +206,30 @@ def sweep(
     sq_overhead_box = [None]
     if int8:
         from witw_tpu.ops.image import normalize_images
-        from witw_tpu.models.quantize import quantize_tower_static
+        from witw_tpu.models.quantize import (
+            quantize_safa_tower_static,
+            quantize_tower_static,
+        )
 
+        quantize_tower = (quantize_safa_tower_static if vector
+                          else quantize_tower_static)
         photo_c = normalize_images(jnp.asarray(photo), d.img_mean, d.img_std)
-        sq_surface = quantize_tower_static(
+        sq_surface = quantize_tower(
             state.params["surface"], [np.asarray(photo_c)], False
         )
 
     @jax.jit
     def embed_surface(params, x):
         from witw_tpu.ops.image import normalize_images
-        from witw_tpu.models.quantize import quantized_fov_forward_static
+        from witw_tpu.models.quantize import (
+            quantized_fov_forward_static,
+            quantized_safa_forward_static,
+        )
 
         x = normalize_images(x, d.img_mean, d.img_std)
         if sq_surface is not None:
+            if vector:
+                return quantized_safa_forward_static(*sq_surface, x, False)
             return quantized_fov_forward_static(sq_surface, x, False)
         return pipeline.surface_model.apply({"params": params["surface"]}, x)
 
@@ -206,10 +242,17 @@ def sweep(
 
     @jax.jit
     def embed_overhead(params, x):
-        from witw_tpu.models.quantize import quantized_fov_forward_static
+        from witw_tpu.models.quantize import (
+            quantized_fov_forward_static,
+            quantized_safa_forward_static,
+        )
 
         polar = _preprocess_overhead(x)
         if int8:
+            if vector:
+                return quantized_safa_forward_static(
+                    *sq_overhead_box[0], polar, True
+                )
             return quantized_fov_forward_static(sq_overhead_box[0], polar, True)
         return pipeline.overhead_model.apply({"params": params["overhead"]}, polar)
 
@@ -244,6 +287,7 @@ def sweep(
             sq_overhead_box[0], calib_tiles = calibrate_overhead_span(
                 state.params["overhead"], lambda i: read_tile(windows[i]),
                 n, batch_size, _preprocess_overhead,
+                quantize_fn=quantize_tower,
             )
 
         buf = np.zeros(
@@ -260,11 +304,16 @@ def sweep(
                 # calibration-coverage guard: clip fraction on a real (non-
                 # calibration-only) batch; hot tiles outside the sample show
                 # up here instead of silently saturating
-                from witw_tpu.models.quantize import check_saturation
+                from witw_tpu.models.quantize import (
+                    check_saturation,
+                    static_int8_saturation_safa,
+                )
 
                 sat_frac = check_saturation(
                     sq_overhead_box[0], _preprocess_overhead(jnp.asarray(buf)),
                     True, context="tile",
+                    saturation_fn=(static_int8_saturation_safa if vector
+                                   else None),
                 )
             o_parts.append(
                 np.asarray(embed_overhead(state.params, jnp.asarray(buf)))[: stop - start]
@@ -274,10 +323,11 @@ def sweep(
         meta = {"x": centers_e, "y": centers_n,
                 "precision": "int8" if int8 else "f32",
                 "tile_dtype": tile_dtype,
+                "family": family,
                 "params_sha": params_sha}
         if sat_frac is not None:
             meta["int8_saturation"] = sat_frac
-        index = GalleryIndex(o_emb, meta=meta)
+        index = index_cls(o_emb, meta=meta)
         if index_cache:
             index.save(index_cache)
 
@@ -287,24 +337,29 @@ def sweep(
     # multi-device ``mesh`` the gallery is resident-sharded and each chip
     # scores only its own shard (score_all_sharded; same math, f32 FFT
     # roundoff from the different chunk batching). ---
-    if mesh is not None and mesh.devices.size > 1:
+    orientations = None
+    if vector:
+        if mesh is not None and mesh.devices.size > 1:
+            distances = index.score_all_sharded(s_emb, mesh=mesh)
+        else:
+            distances = index.score_all(s_emb)
+    elif mesh is not None and mesh.devices.size > 1:
         distances, orientations = index.score_all_sharded(
             s_emb, mesh=mesh, gallery_chunk=2048, fast=fast)
     else:
         distances, orientations = index.score_all(s_emb, gallery_chunk=2048,
                                                   fast=fast)
-    out_width = index.embeds.shape[2]
+    out_width = None if vector else index.embeds.shape[2]
     frames = []
     for q, path in enumerate(photo_paths):
-        frame = pd.DataFrame(
-            {
-                "x": centers_e,
-                "y": centers_n,
-                "orientation": orientations[:, q] * 360.0 / out_width - 180.0,
-                "dissimilarity": distances[:, q],
-                "score": np.exp(10.0 * (1.0 - distances[:, q])),
-            }
-        )
+        cols = {"x": centers_e, "y": centers_n}
+        if orientations is not None:
+            cols["orientation"] = (
+                orientations[:, q] * 360.0 / out_width - 180.0
+            )
+        cols["dissimilarity"] = distances[:, q]
+        cols["score"] = np.exp(10.0 * (1.0 - distances[:, q]))
+        frame = pd.DataFrame(cols)
         if len(photo_paths) > 1:
             frame.insert(0, "photo", path)
         frames.append(frame)
@@ -353,6 +408,11 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="embed with the static-int8 towers (faster serving; "
                              "rank agreement with f32 test-gated)")
+    parser.add_argument("--family", choices=("fov", "safa"), default="fov",
+                        help="tower family: fov = orientation-aligned FFT "
+                             "sweep (default, the reference tool's model); "
+                             "safa = VGG16+SAFA unit vectors, Euclidean "
+                             "scores, no orientation column")
     parser.add_argument("--fast-eval", action="store_true",
                         help="bf16 frequency product in the tile scoring sweep "
                              "(opt-in approximation; exact is the default)")
@@ -373,7 +433,7 @@ def main(argv=None):
     sweep(sat_path, args.photopath, args.csvpath, args.bounds,
           args.edge, args.offset, args.fov, checkpoint_dir=args.weights,
           index_cache=args.index_cache, int8=args.int8, fast=args.fast_eval,
-          mesh=mesh)
+          mesh=mesh, family=args.family)
     if args.image:
         layer(sat_path, args.bounds, args.layerpath)
 

@@ -20,6 +20,13 @@ at device speed:
 Run: ``python -m witw_tpu.tools.serve --index tiles.npz --weights ./weights
 --tag fov_70_witw --fov 70 [--int8] [--max-batch 8] [--port 8000]``
 
+``--family safa`` serves a VGG16+SAFA checkpoint against a
+:class:`~witw_tpu.evaluation.vector_index.VectorIndex` (plain Euclidean on
+unit embeddings; built by ``tools/heatmap.py --family safa --index-cache``).
+Results then carry ``orientation_deg: null`` — the vector families have no
+orientation axis. ``--int8`` works for both families (the SAFA trunk's
+static-int8 path measured 1.35x f32 on v5e, BASELINE.md).
+
 The retrieval kernel is the hoisted chunked top-k of GalleryIndex.search —
 one compiled shape regardless of gallery size.
 
@@ -98,19 +105,46 @@ class GeolocateService:
     ``batch_window_ms`` after the first) and runs ONE embed + ONE search per
     group. Exact and approximate requests are grouped separately so each
     keeps its contract; within an approximate group the candidate pool is
-    the group max (never smaller than any request asked for)."""
+    the group max (never smaller than any request asked for).
+
+    ``family`` selects the tower/index pairing: ``"fov"`` (default) embeds
+    with the FOV-DSM surface tower and searches a GalleryIndex (orientation-
+    aligned FFT chord distance); ``"safa"`` embeds with the VGG16+SAFA
+    surface tower and searches a VectorIndex (plain Euclidean on the unit
+    embeddings — no orientation axis, so results carry
+    ``orientation_deg: null``). SAFA exact search is one GEMM per gallery
+    chunk, so ``candidates`` requests are served exactly (the two-stage
+    approximate path exists to dodge the FOV sweep's cost, which this family
+    doesn't pay). The baseline family's towers share the same contract but
+    measured int8 at only 1.03x f32 (BASELINE.md per-family row) at an
+    eval-scale 448x1232/750^2 geometry — serve those galleries through this
+    class with family="safa"-style wiring only if a deployment needs it;
+    the supported serving families are fov and safa."""
 
     def __init__(self, index, cfg, state, int8: bool = False,
                  fast: bool = False, max_batch: int = 0,
                  batch_window_ms: float = 3.0, mesh=None,
                  allow_mismatch: bool = False, batch_workers: int = 2,
-                 max_candidates: int = 65536):
+                 max_candidates: int = 65536, family: str = "fov"):
         import jax
         import jax.numpy as jnp
 
         from witw_tpu.ops.image import normalize_images
         from witw_tpu.train.pipeline import make_pipeline
 
+        if family not in ("fov", "safa"):
+            raise ValueError(f"unsupported serving family {family!r}")
+        self.family = family
+        self._vector = family == "safa"
+        # the index type must match the family: scoring FOV feature maps as
+        # flat vectors (or vice versa) would not fail loudly on its own
+        if self._vector != (index.embeds.ndim == 2):
+            raise ValueError(
+                f"family {family!r} needs a "
+                f"{'VectorIndex' if self._vector else 'GalleryIndex'} but the "
+                f"index embeds are {index.embeds.ndim}-D — rebuild the index "
+                f"with the matching --family"
+            )
         self.index = index
         self.cfg = cfg
         d = cfg.data
@@ -141,9 +175,15 @@ class GeolocateService:
             return pipeline.surface_model.apply({"params": params["surface"]}, x)
 
         def embed_int8(params, x):
-            from witw_tpu.models.quantize import quantized_fov_forward_static
+            from witw_tpu.models.quantize import (
+                quantized_fov_forward_static,
+                quantized_safa_forward_static,
+            )
 
             x = normalize_images(x, d.img_mean, d.img_std)
+            if self._vector:
+                sq, head = self._sq
+                return quantized_safa_forward_static(sq, head, x, False)
             return quantized_fov_forward_static(self._sq, x, False)
 
         self._embed_f32 = jax.jit(embed_f32)
@@ -190,9 +230,14 @@ class GeolocateService:
             if self._sq is None:
                 import numpy as np
 
-                from witw_tpu.models.quantize import quantize_tower_static
+                from witw_tpu.models.quantize import (
+                    quantize_safa_tower_static,
+                    quantize_tower_static,
+                )
 
-                self._sq = quantize_tower_static(
+                quantize = (quantize_safa_tower_static if self._vector
+                            else quantize_tower_static)
+                self._sq = quantize(
                     params["surface"], [np.asarray(self._normalize(x))], False
                 )
         return self._embed_int8(params, x)
@@ -312,6 +357,14 @@ class GeolocateService:
                         # warm only the search kernels with a dummy embedding
                         # (embedding at calibration-time scales would pin the
                         # int8 scales to zeros)
+                        if self._vector:
+                            emb = np.zeros(
+                                (b, self.index.embeds.shape[1]), np.float32)
+                            if self._mesh is not None:
+                                self.index.search_sharded(emb, k=kb)
+                            else:
+                                self.index.search(emb, k=kb)
+                            continue
                         emb = np.zeros(
                             (b,) + tuple(self.index.embeds.shape[1:3])
                             + (self.index.embeds.shape[3],), np.float32)
@@ -369,10 +422,12 @@ class GeolocateService:
                     [imgs, np.broadcast_to(imgs[:1], (bucket - b,) + imgs.shape[1:])]
                 )
             s_emb = np.asarray(self._embed(self._params, jnp.asarray(imgs)))[:b]
-            # exact and approximate requests keep their own contracts
+            # exact and approximate requests keep their own contracts; the
+            # vector family serves every request exactly (its exact search is
+            # one GEMM per chunk — there is no sweep cost to approximate away)
             for approx in (False, True):
                 rows = [i for i, r in enumerate(group)
-                        if (r.candidates > 0) == approx]
+                        if (r.candidates > 0 and not self._vector) == approx]
                 if not rows:
                     continue
                 with self._stats_lock:
@@ -406,19 +461,32 @@ class GeolocateService:
                     # k buckets: the sharded top-k compiles per k and client
                     # k values vary; results are ascending so each request
                     # slices its own k (k_max <= max_k — geolocate clamps).
-                    idx, dist, orient = self.index.search_sharded(
-                        embs, k=self._k_bucket(k_max), fast=self._fast
-                    )
+                    if self._vector:
+                        idx, dist = self.index.search_sharded(
+                            embs, k=self._k_bucket(k_max)
+                        )
+                        orient = None
+                    else:
+                        idx, dist, orient = self.index.search_sharded(
+                            embs, k=self._k_bucket(k_max), fast=self._fast
+                        )
                 else:
                     # same bucketing on the single-device exact path — raw
                     # client k values would compile one kernel per distinct k
-                    idx, dist, orient = self.index.search(
-                        embs, k=self._k_bucket(k_max), fast=self._fast
-                    )
+                    if self._vector:
+                        idx, dist = self.index.search(
+                            embs, k=self._k_bucket(k_max)
+                        )
+                        orient = None
+                    else:
+                        idx, dist, orient = self.index.search(
+                            embs, k=self._k_bucket(k_max), fast=self._fast
+                        )
                 for out_row, i in enumerate(rows):
                     r = group[i]
                     r.result = self._format(
-                        idx[out_row], dist[out_row], orient[out_row], r.k
+                        idx[out_row], dist[out_row],
+                        None if orient is None else orient[out_row], r.k
                     )
         except BaseException as err:  # propagate to every waiter
             with self._stats_lock:
@@ -432,18 +500,24 @@ class GeolocateService:
     def _format(self, idx_row, dist_row, orient_row, k: int):
         import numpy as np
 
-        w = self.index.embeds.shape[2]
+        # vector families have no orientation axis; their unit-vector
+        # Euclidean distance lives in the same [0, 2] range as the FOV chord
+        # distance, so the score transform carries over
+        w = self.index.embeds.shape[2] if orient_row is not None else None
         xs = self.index.meta.get("x")
         ys = self.index.meta.get("y")
         results = []
-        for i, dd, oo in zip(idx_row[:k], dist_row[:k], orient_row[:k]):
+        for j, (i, dd) in enumerate(zip(idx_row[:k], dist_row[:k])):
             results.append(
                 {
                     "x": float(xs[i]) if xs is not None else None,
                     "y": float(ys[i]) if ys is not None else None,
                     "tile": int(i),
                     "distance": float(dd),
-                    "orientation_deg": float(oo * 360.0 / w - 180.0),
+                    "orientation_deg": (
+                        float(orient_row[j] * 360.0 / w - 180.0)
+                        if orient_row is not None else None
+                    ),
                     "score": float(np.exp(10.0 * (1.0 - dd))),
                 }
             )
@@ -468,6 +542,7 @@ def make_handler(service: GeolocateService):
                 self._json(200, {
                     "status": "ok",
                     "gallery_size": len(service.index),
+                    "family": service.family,
                     "int8": service._int8,
                     "max_batch": service.max_batch,
                     "sharded_devices": (
@@ -541,17 +616,24 @@ def main(argv=None):
     honor_platform_env()
     import jax
 
-    from witw_tpu.configs import fov_experiment
+    from witw_tpu.configs import fov_experiment, safa_experiment
     from witw_tpu.evaluation.index import GalleryIndex
+    from witw_tpu.evaluation.vector_index import VectorIndex
     from witw_tpu.train.checkpoint import Checkpointer
     from witw_tpu.train.pipeline import make_pipeline
 
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("--index", required=True, help="GalleryIndex .npz")
+    parser.add_argument("--index", required=True,
+                        help="gallery index .npz (GalleryIndex for --family "
+                             "fov, VectorIndex for --family safa)")
     parser.add_argument("--weights", default="./weights")
     parser.add_argument("--tag", default=None)
     parser.add_argument("--dataset", default="witw")
     parser.add_argument("--fov", type=int, default=70)
+    parser.add_argument("--family", choices=("fov", "safa"), default="fov",
+                        help="tower/index family: fov = FOV-DSM towers + "
+                             "orientation-aligned FFT index (default); safa "
+                             "= VGG16+SAFA towers + Euclidean vector index")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--int8", action="store_true")
@@ -589,13 +671,16 @@ def main(argv=None):
 
     import os
 
-    cfg = fov_experiment(dataset=args.dataset, fov=args.fov)
+    make_cfg = fov_experiment if args.family == "fov" else safa_experiment
+    cfg = make_cfg(dataset=args.dataset, fov=args.fov)
     pipeline = make_pipeline(cfg)
     ckpt = Checkpointer(
-        os.path.join(args.weights, args.tag or f"fov_{args.fov}_{args.dataset}")
+        os.path.join(args.weights,
+                     args.tag or f"{args.family}_{args.fov}_{args.dataset}")
     )
     state = ckpt.restore("best", pipeline.init(jax.random.PRNGKey(0)))
-    index = GalleryIndex.load(args.index)
+    index_cls = GalleryIndex if args.family == "fov" else VectorIndex
+    index = index_cls.load(args.index)
     mesh = None
     if args.shard_gallery:
         from witw_tpu.parallel.mesh import make_mesh
@@ -606,7 +691,8 @@ def main(argv=None):
                                batch_window_ms=args.batch_window_ms, mesh=mesh,
                                allow_mismatch=args.allow_mismatch,
                                batch_workers=args.batch_workers,
-                               max_candidates=args.max_candidates)
+                               max_candidates=args.max_candidates,
+                               family=args.family)
     # Bind the socket FIRST so misconfiguration (port in use) fails fast,
     # then spend the multi-bucket warmup compiles; connections made during
     # warmup queue in the listen backlog until serve_forever() starts.
