@@ -109,10 +109,16 @@ class GalleryIndex:
     RESIDENT_BYTES_MAX = 6 << 30
 
     def _resident_bytes(self) -> int:
-        """Device bytes a resident gallery FFT costs: complex64 rFFT table +
-        the transient f32 gallery it is computed from (freed after)."""
+        """Device bytes a resident gallery FFT costs: complex64 rFFT table,
+        the transient f32 gallery it is computed from (freed after), and the
+        transient padded copy _pad_chunked makes inside the jitted sweep when
+        the remainder chunk forces a pad (worst case another full complex64
+        table; counted unconditionally to stay conservative). The [N, Q]
+        result buffer is excluded — at serving Q (<=16) it is ~6 MB at 100k
+        tiles, noise next to these terms."""
         n, h, w, c = self.embeds.shape
-        return n * h * (w // 2 + 1) * c * 8 + self.embeds.nbytes
+        fo = n * h * (w // 2 + 1) * c * 8
+        return 2 * fo + self.embeds.nbytes
 
     def score_all(
         self, surface_embeds: np.ndarray, gallery_chunk: int = 2048,
@@ -150,8 +156,10 @@ class GalleryIndex:
             # was ~2.5 s of pure latency per scored photo, NOTES.md round 4c).
             fo, wsq = self._gallery_fft(sw)
             n_chunks = -(-n // gallery_chunk)
-            fn = _make_resident_scoreall(w, min(gallery_chunk, n), n_chunks,
-                                         n, fast)
+            # balanced chunks: pad < n_chunks rows instead of up to chunk-1,
+            # so the device-side pad copy carries almost no dead work
+            chunk = -(-n // n_chunks)
+            fn = _make_resident_scoreall(w, chunk, n_chunks, n, fast)
             d, orient = fn(fo, wsq, fs, s_norm)
             return (np.asarray(d).astype(np.float32),
                     np.asarray(orient).astype(np.int32))
@@ -481,6 +489,7 @@ class GalleryIndex:
 
         chunk = max(min(gallery_chunk, n), k)  # per-chunk top-k needs k<=chunk
         n_chunks = -(-n // chunk)
+        chunk = max(-(-n // n_chunks), k)  # balanced: near-zero pad rows
         fn = _make_resident_topk(w, chunk, n_chunks, n, k, fast)
         d, i, orient = fn(fo, wsq, fs, s_norm)
         return (

@@ -2,17 +2,20 @@
 
 The FOV family's :class:`~witw_tpu.evaluation.index.GalleryIndex` matches
 [N, h, w, c] feature maps with an orientation-aligned FFT sweep; the SAFA and
-baseline towers emit unit embedding VECTORS matched with plain Euclidean
+baseline towers emit flat embedding VECTORS matched with plain Euclidean
 distance (reference model/cvig_baseline.py:272-279,456-463). This gives those
 families the same serving capabilities the FOV index has: npz persistence
 with metadata, chunked top-k in bounded device memory with one compiled
 kernel per gallery width, device-resident gallery caching across calls, and
 a mesh-sharded search whose capacity scales with mesh HBM.
 
-Distances are true Euclidean (sqrt) — on the families' unit embeddings they
-live in [0, 2] like the FOV chord distance, so serving score formulas carry
-over; ranks are identical to the squared form evaluation.gallery's
-euclidean_ranks uses.
+Distances are true Euclidean (sqrt). The SAFA tower L2-normalizes, so its
+distances live in [0, 2] like the FOV chord distance and the exp(10*(1-d))
+serving score transform carries over. The BASELINE tower normalizes by
+sqrt(norm) (reference model/cvig_baseline.py:278) — embeddings are NOT unit
+vectors and distances are unbounded, so baseline serving uses its own score
+calibration (see tools/serve.py); ranks are unaffected either way and match
+the squared form evaluation.gallery's euclidean_ranks uses.
 """
 
 from __future__ import annotations
@@ -31,7 +34,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 def _chunk_dists(gal_c: jnp.ndarray, g2_c: jnp.ndarray, q: jnp.ndarray,
                  q2: jnp.ndarray) -> jnp.ndarray:
     """[Q, G] Euclidean distances of one gallery chunk: one GEMM plus norms.
-    Padded gallery rows carry g2 = +inf so they never enter a top-k."""
+    Padded gallery rows are zero vectors (g2 = 0, distance sqrt(q2)); callers
+    are responsible for excluding them — via result slicing ([:real]) or the
+    explicit valid masks each call site applies — before trusting a top-k."""
     d2 = q2[:, None] + g2_c[None, :] - 2.0 * q @ gal_c.T
     return jnp.sqrt(jnp.maximum(d2, 0.0))
 

@@ -51,6 +51,7 @@ import json
 import queue
 import threading
 import time
+import warnings
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -159,7 +160,18 @@ class GeolocateService:
         if not allow_mismatch:
             _check_index_matches_towers(index, state, int8)
         # bf16 frequency product in the search kernels (opt-in approximation;
-        # exact is the default — see match/fft_matcher._freq_product).
+        # exact is the default — see match/fft_matcher._freq_product). Only
+        # the FOV family's FFT sweep has a fast variant; the vector families'
+        # single-GEMM search has no approximate path, so accepting the flag
+        # there would silently compare two identical exact runs.
+        if fast and self._vector:
+            warnings.warn(
+                f"--fast-eval has no effect for family {family!r}: the "
+                "vector search path is a single exact GEMM (no bf16 "
+                "frequency-product variant); running exact search",
+                stacklevel=2,
+            )
+            fast = False
         self._fast = fast
         # Multi-device mesh: keep the gallery RESIDENT sharded across every
         # device (GalleryIndex.place_sharded) so index capacity scales with
