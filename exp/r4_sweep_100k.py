@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--f32-tiles", action="store_true")
     ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--serial", action="store_true",
+                    help="disable the extraction/embed overlap "
+                         "(prefetch_tiles=0) for the cold-path A/B")
+    ap.add_argument("--cold-only", action="store_true",
+                    help="phase A only (for bounded A/B runs)")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +93,7 @@ def main():
         edge=edge, offset=offset, fov=70, state=state, index_cache=cache,
         int8=not args.no_int8, batch_size=args.batch_size, verbose=False,
         tile_dtype="float32" if args.f32_tiles else "uint8",
+        prefetch_tiles=0 if args.serial else 2,
     )
 
     print("phase A: cold sweep (extract + calibrate + embed + score + "
@@ -100,6 +106,10 @@ def main():
     print(f"phase A cold: {t_cold:.1f}s "
           f"({n_tiles/t_cold:.0f} tiles/s incl. everything); "
           f"cache {os.path.getsize(cache)/1e9:.2f} GB", flush=True)
+    if args.cold_only:
+        print(f"SUMMARY n={n_tiles} cold={t_cold:.1f}s "
+              f"serial={args.serial}", flush=True)
+        return
 
     print("phase B: warm sweep (cache hit)...", flush=True)
     t0 = time.time()
@@ -133,8 +143,20 @@ def main():
         times.append(time.time() - t0)
     print(f"phase C: cache load {t_load:.1f}s; score_all over {n_tiles} "
           f"tiles warm: {', '.join(f'{t:.2f}' for t in times)} s", flush=True)
+
+    # phase D: warm top-k search latency against the same resident gallery
+    # (the serving daemon's exact-search path; single-dispatch lax.map kernel)
+    _ = index.search(s_emb, k=10)  # compile
+    t_search = []
+    for _ in range(3):
+        t0 = time.time()
+        _ = index.search(s_emb, k=10)
+        t_search.append(time.time() - t0)
+    print(f"phase D: search k=10 warm: "
+          f"{', '.join(f'{t:.3f}' for t in t_search)} s", flush=True)
     print(f"SUMMARY n={n_tiles} cold={t_cold:.1f}s warm={t_warm:.1f}s "
-          f"score_warm={min(times):.2f}s", flush=True)
+          f"score_warm={min(times):.2f}s search_warm={min(t_search):.3f}s",
+          flush=True)
 
 
 if __name__ == "__main__":

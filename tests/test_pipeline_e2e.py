@@ -149,6 +149,15 @@ def test_heatmap_sweep_synthetic(tmp_path, rng):
                   edge=225.0, offset=112.5, fov=70, state=state,
                   index_cache=cache, verbose=False)
     assert os.path.exists(cache)
+    # the prefetch producer thread (default cold path) only overlaps WHEN
+    # batches are built, not what is in them: the serial path is bit-equal
+    frame_serial = sweep(sat_path, photo_path, str(tmp_path / "match_s.csv"),
+                         bounds, edge=225.0, offset=112.5, fov=70,
+                         state=state, verbose=False, prefetch_tiles=0)
+    np.testing.assert_array_equal(frame_serial["dissimilarity"],
+                                  frame["dissimilarity"])
+    np.testing.assert_array_equal(frame_serial["orientation"],
+                                  frame["orientation"])
     # second sweep hits the embedding cache and reproduces the scores
     frame2 = sweep(sat_path, photo_path, csv_path, bounds,
                    edge=225.0, offset=112.5, fov=70, state=state,

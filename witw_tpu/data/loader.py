@@ -255,6 +255,54 @@ class PairLoader:
                 out_q.get_nowait()
 
 
+_DONE = object()
+
+
+def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+    """Consume ``it`` in a daemon producer thread, yielding its items through
+    a bounded queue so production overlaps consumption — the generic double-
+    buffer used to overlap host-side work (tile extraction, file decode) with
+    blocking device dispatch+fetch (heatmap.sweep; same producer/queue/
+    exception-propagation pattern as PairLoader.__iter__). ``depth`` bounds
+    the number of produced-but-unconsumed items resident at once; ``depth=0``
+    returns ``it`` unchanged (the serial path, for A/B tests)."""
+    if depth <= 0:
+        return it
+
+    out_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for item in it:
+                if stop.is_set():
+                    return
+                out_q.put(item)
+        except BaseException as err:  # propagate to the consumer
+            out_q.put(err)
+            return
+        out_q.put(_DONE)
+
+    def consume():
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is _DONE:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so a blocked producer can observe the stop flag.
+            while not out_q.empty():
+                out_q.get_nowait()
+
+    return consume()
+
+
 def _fix_channels(img: np.ndarray, channels: int) -> np.ndarray:
     c = img.shape[2]
     if c == channels:
