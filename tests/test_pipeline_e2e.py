@@ -880,6 +880,132 @@ def test_heatmap_sweep_safa_family(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_heatmap_sweep_baseline_family(tmp_path, rng):
+    """--family baseline sweep: the 7-conv GeM towers embed RAW 750^2 tiles
+    (no polar, no normalization) to 1536-d f/||f||^0.5 vectors (VectorIndex
+    cache), scored by plain Euclidean distance with score = exp(-d). The
+    geometry is the production one (host_geometry pins witw at 500^2 photos /
+    750^2 tiles; the architecture's 7 valid k=4 s=2 convs need >=382 inputs,
+    so there is no reduced-geometry variant). f32 only: XLA:CPU runs int8
+    convs at reference-lowering speed (NOTES.md) and this geometry is the
+    largest in the suite — the baseline int8 forward itself is pinned by
+    tests/test_quantize.py."""
+    import jax
+
+    from witw_tpu.configs import baseline_experiment
+    from witw_tpu.evaluation.vector_index import VectorIndex
+    from witw_tpu.tools.heatmap import sweep
+    from witw_tpu.train.pipeline import make_pipeline
+
+    cfg = baseline_experiment(dataset="witw")
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    e0, n0 = 447600.0, 5411900.0
+    strip = rng.integers(1, 255, size=(1200, 1200, 3), dtype=np.uint8)
+    gtf = np.array([e0, 0.3, 0, n0, 0, -0.3])
+    sat_path = str(tmp_path / "03_paris.tif")
+    gt.write_geotiff_u8(sat_path, strip, gtf, 32631)
+
+    from PIL import Image
+
+    photo_path = str(tmp_path / "img.jpg")
+    Image.fromarray(
+        rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+    ).save(photo_path)
+
+    csv_path = str(tmp_path / "match.csv")
+    bounds = (e0 + 30, n0 - 250, e0 + 250, n0 - 30)
+    cache = str(tmp_path / "tiles_base.npz")
+    frame = sweep(sat_path, photo_path, csv_path, bounds,
+                  edge=225.0, offset=112.5, state=state,
+                  index_cache=cache, verbose=False, family="baseline")
+    assert set(frame.columns) == {"x", "y", "dissimilarity", "score"}
+    assert len(frame) >= 4
+    assert np.all(np.isfinite(frame["score"]))
+    assert np.all(frame["dissimilarity"] >= 0)
+    np.testing.assert_allclose(
+        frame["score"], np.exp(-frame["dissimilarity"]), rtol=1e-6)
+    idx = VectorIndex.load(cache)
+    assert idx.embeds.shape == (len(frame), 1536)
+    assert str(idx.meta.get("family")) == "baseline"
+    # f/||f||^0.5 embeddings: ||emb|| = sqrt(||f||), NOT unit
+    norms = np.linalg.norm(idx.embeds, axis=1)
+    assert not np.allclose(norms, 1.0, rtol=1e-2)
+
+    # cache hit reproduces scores; a safa sweep pointed at this cache must
+    # rebuild (family mismatch), not serve baseline embeddings
+    frame2 = sweep(sat_path, photo_path, csv_path, bounds,
+                   edge=225.0, offset=112.5, state=state,
+                   index_cache=cache, verbose=False, family="baseline")
+    np.testing.assert_allclose(frame2["score"], frame["score"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_serving_daemon_baseline_family(rng):
+    """--family baseline daemon: embeds 500^2 raw photos with the baseline
+    surface tower (batch_stats-aware, no normalization), searches a
+    VectorIndex, reports score = exp(-distance) (unbounded-distance
+    calibration) and orientation_deg null."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    import jax
+    from PIL import Image
+
+    from witw_tpu.configs import baseline_experiment
+    from witw_tpu.evaluation.vector_index import VectorIndex
+    from witw_tpu.tools.serve import GeolocateService, serve
+    from witw_tpu.train.pipeline import make_pipeline
+
+    cfg = baseline_experiment(dataset="witw")
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    n = 10
+    embeds = rng.standard_normal((n, 1536)).astype(np.float32)
+    index = VectorIndex(
+        embeds,
+        meta={"x": np.arange(n, dtype=np.float64) * 100.0,
+              "y": np.arange(n, dtype=np.float64) * -50.0},
+    )
+
+    service = GeolocateService(index, cfg, state, family="baseline")
+    assert service._surface_hw == (500, 500)
+    server = serve(service, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["family"] == "baseline" and health["gallery_size"] == n
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/geolocate?k=3", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        results = out["results"]
+        assert len(results) == 3
+        assert (results[0]["distance"] <= results[1]["distance"]
+                <= results[2]["distance"])
+        for item in results:
+            assert item["orientation_deg"] is None
+            np.testing.assert_allclose(
+                item["score"], np.exp(-item["distance"]), rtol=1e-6)
+    finally:
+        server.shutdown()
+        service.close()
+
+
+@pytest.mark.slow
 def test_serving_daemon_safa_family(rng):
     """--family safa daemon: embeds queries with the SAFA surface tower,
     searches a VectorIndex, answers with orientation_deg null; index/family

@@ -632,6 +632,62 @@ def test_build_index_from_dataset_csv(tmp_path):
                     meta_cols=["nope"], verbose=False, batch_size=2)
 
 
+def test_build_index_baseline_family(tmp_path):
+    """--family baseline: raw 750^2 tiles through the 7-conv GeM overhead
+    tower (batch_stats-aware, no polar/normalization) into a VectorIndex;
+    embeddings match a manual eval-mode tower pass and the saved index
+    serves Euclidean top-k."""
+    import jax
+    import jax.numpy as jnp
+
+    from witw_tpu.configs import baseline_experiment
+    from witw_tpu.data import write_synthetic_dataset
+    from witw_tpu.data.csv_registry import read_pair_paths
+    from witw_tpu.data.loader import decode_image, resize_host
+    from witw_tpu.evaluation.vector_index import VectorIndex
+    from witw_tpu.tools.build_index import build_index
+    from witw_tpu.train.pipeline import make_pipeline
+
+    csv_path = write_synthetic_dataset(
+        str(tmp_path / "data"), n=3, schema="witw",
+        surface_hw=(32, 64), overhead_hw=(32, 32),
+    )
+    import dataclasses
+
+    cfg = baseline_experiment(dataset="witw")
+    # f32 compute so the batched tool pass and the one-shot manual pass agree
+    # to tolerance (bf16 rounding is batch-layout dependent, like the fov
+    # build_index test above)
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"))
+    pipeline = make_pipeline(cfg)
+    state = pipeline.init(jax.random.PRNGKey(0))
+
+    out = str(tmp_path / "base.npz")
+    index = build_index(
+        csv_path, out, dataset="witw", batch_size=2, state=state, cfg=cfg,
+        verbose=False, family="baseline",
+    )
+    assert index.embeds.shape == (3, 1536)
+
+    pairs = read_pair_paths(cfg.data.dataset, csv_path)
+    tiles = np.stack([
+        resize_host(decode_image(o).astype(np.float32), 750, 750)
+        for _, o in pairs
+    ])
+    want = np.asarray(pipeline.overhead_model.apply(
+        {"params": state.params["overhead"],
+         "batch_stats": state.batch_stats["overhead"]},
+        jnp.asarray(tiles), train=False))
+    np.testing.assert_allclose(index.embeds, want, rtol=1e-4, atol=1e-4)
+
+    loaded = VectorIndex.load(out)
+    assert str(loaded.meta["family"]) == "baseline"
+    assert str(loaded.meta["precision"]) == "f32"
+    idx, dist = loaded.search(index.embeds[:2], k=2)
+    assert np.array_equal(idx[:, 0], [0, 1])  # self-match at distance ~0
+
+
 def test_build_index_headerless_integer_meta_cols(tmp_path):
     """Headerless (CVUSA-schema) CSVs have integer RangeIndex columns: a
     numeric --meta-cols spec like '2:x' addresses them positionally (named

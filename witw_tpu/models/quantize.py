@@ -716,6 +716,17 @@ def static_int8_saturation_safa(sq_head, x, circ_padding: bool = False) -> float
     return hits / max(total, 1)
 
 
+def static_int8_saturation_baseline(sq, x, circ_padding: bool = False) -> float:
+    """static_int8_saturation for a baseline tower — same clip-fraction
+    contract over the requantized activations (``circ_padding`` unused: the
+    baseline convs are unpadded, reference cvig_baseline.py:237-239)."""
+    sats: list = []
+    quantized_baseline_forward_static(sq, x, saturation_out=sats)
+    hits = sum(int(h) for h, _ in sats)
+    total = sum(t for _, t in sats)
+    return hits / max(total, 1)
+
+
 def check_saturation(sq, x, circ_padding: bool = True,
                      context: str = "input", saturation_fn=None) -> float:
     """Measure clip fraction on a held-out batch and warn above the

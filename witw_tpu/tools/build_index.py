@@ -45,7 +45,11 @@ def build_index(
 
     ``family="safa"`` embeds with the VGG16+SAFA overhead tower into a
     :class:`~witw_tpu.evaluation.vector_index.VectorIndex` (unit vectors,
-    Euclidean serving — the daemon's ``--family safa``).
+    Euclidean serving — the daemon's ``--family safa``). ``family="baseline"``
+    embeds raw 750^2 tiles with the 7-conv GeM overhead tower
+    (cvig_baseline.py:282-283) into a VectorIndex; its f/||f||^0.5
+    embeddings are NOT unit vectors, so distances are unbounded and the
+    daemon reports a distance-calibrated score (see serve.py).
 
     ``meta_cols``: CSV column names copied into the index meta; a
     ``"src:dst"`` entry renames on the way in (e.g. ``["lon:x", "lat:y"]``
@@ -66,11 +70,16 @@ def build_index(
     from witw_tpu.train.pipeline import make_pipeline
     from witw_tpu.utils.hashing import params_fingerprint
 
-    if family not in ("fov", "safa"):
+    if family not in ("fov", "safa", "baseline"):
         raise ValueError(f"unsupported index family {family!r}")
-    vector = family == "safa"
+    vector = family in ("safa", "baseline")
+    baseline = family == "baseline"
     if cfg is None:
-        if vector:
+        if baseline:
+            from witw_tpu.configs import baseline_experiment
+
+            cfg = baseline_experiment(dataset=dataset)
+        elif vector:
             from witw_tpu.configs import safa_experiment
 
             cfg = safa_experiment(dataset=dataset, fov=fov)
@@ -88,32 +97,52 @@ def build_index(
     overhead_paths = [o for _, o in pairs]
     n = len(overhead_paths)
 
+    # Baseline towers consume raw 750^2 tiles (cli/common.host_geometry;
+    # reference cvig_baseline.py uses native tiles, no polar transform and no
+    # normalization — the encoder scales to [-1,1] internally).
+    if baseline:
+        from witw_tpu.cli.common import host_geometry
+
+        tile_size = host_geometry(cfg)[1][0]
+    else:
+        tile_size = d.overhead_size
+
     def read_tile(path):
         tile = decode_image(path).astype(np.float32)
-        return resize_host(tile[..., : d.channels], d.overhead_size,
-                           d.overhead_size)
+        return resize_host(tile[..., : d.channels], tile_size, tile_size)
 
     def _preprocess(x):
         from witw_tpu.ops.image import normalize_images
         from witw_tpu.ops.polar import polar_transform
 
+        if baseline:
+            return x  # raw pixels: the encoder owns its input scaling
         x = normalize_images(x, d.img_mean, d.img_std)
         return polar_transform(x, d.surface_height, d.surface_width_max)
 
     sq_box = [None]
 
     @jax.jit
-    def embed(params, x):
+    def embed(params, batch_stats, x):
         from witw_tpu.models.quantize import (
+            quantized_baseline_forward_static,
             quantized_fov_forward_static,
             quantized_safa_forward_static,
         )
 
         polar = _preprocess(x)
         if int8:
+            if baseline:
+                return quantized_baseline_forward_static(sq_box[0], polar)
             if vector:
                 return quantized_safa_forward_static(*sq_box[0], polar, True)
             return quantized_fov_forward_static(sq_box[0], polar, True)
+        if baseline:
+            return pipeline.overhead_model.apply(
+                {"params": params["overhead"],
+                 "batch_stats": batch_stats["overhead"]},
+                polar, train=False,
+            )
         return pipeline.overhead_model.apply({"params": params["overhead"]},
                                              polar)
 
@@ -122,18 +151,29 @@ def build_index(
     if int8:
         from witw_tpu.models.quantize import (
             calibrate_overhead_span,
+            quantize_baseline_tower_static,
             quantize_safa_tower_static,
         )
 
+        if baseline:
+            # folds the eval-mode BN affines, so it needs batch_stats too
+            variables = {"params": state.params["overhead"],
+                         "batch_stats": state.batch_stats["overhead"]}
+            quantize_fn = (
+                lambda _p, batches, _c:
+                quantize_baseline_tower_static(variables, batches)
+            )
+        else:
+            quantize_fn = quantize_safa_tower_static if vector else None
         # gallery-spanning calibration sample (same coverage contract as the
         # heatmap sweep); sampled tiles are reused in the embed loop
         sq_box[0], calib_tiles = calibrate_overhead_span(
             state.params["overhead"], lambda i: read_tile(overhead_paths[i]),
             n, batch_size, _preprocess,
-            quantize_fn=quantize_safa_tower_static if vector else None,
+            quantize_fn=quantize_fn,
         )
 
-    buf = np.zeros((batch_size, d.overhead_size, d.overhead_size, d.channels),
+    buf = np.zeros((batch_size, tile_size, tile_size, d.channels),
                    np.float32)
     parts = []
     for start in range(0, n, batch_size):
@@ -145,17 +185,22 @@ def build_index(
         if int8 and sat_frac is None:
             from witw_tpu.models.quantize import (
                 check_saturation,
+                static_int8_saturation_baseline,
                 static_int8_saturation_safa,
             )
 
             sat_frac = check_saturation(
                 sq_box[0], _preprocess(jnp.asarray(buf)), True,
                 context="gallery",
-                saturation_fn=(static_int8_saturation_safa if vector
-                               else None),
+                saturation_fn=(
+                    static_int8_saturation_baseline if baseline
+                    else static_int8_saturation_safa if vector
+                    else None),
             )
         parts.append(
-            np.asarray(embed(state.params, jnp.asarray(buf)))[: stop - start]
+            np.asarray(
+                embed(state.params, state.batch_stats, jnp.asarray(buf))
+            )[: stop - start]
         )
     embeds = np.concatenate(parts)[:n]
 
@@ -221,10 +266,13 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--int8", action="store_true",
                         help="embed with the static-int8 towers")
-    parser.add_argument("--family", choices=("fov", "safa"), default="fov",
+    parser.add_argument("--family", choices=("fov", "safa", "baseline"),
+                        default="fov",
                         help="tower/index family: fov = FOV-DSM feature-map "
                              "GalleryIndex (default); safa = VGG16+SAFA "
-                             "Euclidean VectorIndex")
+                             "Euclidean VectorIndex; baseline = 7-conv GeM "
+                             "towers on raw 750^2 tiles (Euclidean "
+                             "VectorIndex; --fov ignored)")
     parser.add_argument("--meta-cols", default=None,
                         help="comma-separated CSV columns to copy into the "
                              "index meta; 'src:dst' renames (e.g. "

@@ -126,6 +126,14 @@ def sweep(
     this extends the same sweep to the vector families. ``int8`` quantizes
     the SAFA trunk statically (measured 1.35x f32 on v5e, BASELINE.md).
 
+    ``family="baseline"`` sweeps with the 7-conv GeM towers on RAW tiles at
+    the reference's native geometry (750^2 tiles, dataset-specific photo
+    size — cli/common.host_geometry; no polar transform, no normalization).
+    Baseline embeddings are f/||f||^0.5 (not unit), so distances are
+    unbounded and the ``score`` column is the monotone exp(-d) (documented
+    in tools/serve._format). ``int8`` is available but measured only 1.03x
+    f32 at this geometry (BASELINE.md) — its value is memory, not rate.
+
     ``tile_dtype="uint8"`` streams resampled tiles to the device as uint8
     (rounded; cast to f32 on device) — 4x less host->device traffic, the
     dominant cost of a 100k-tile sweep through a slow host link. The WITW
@@ -146,11 +154,16 @@ def sweep(
     from witw_tpu.train.pipeline import make_pipeline
     import jax.numpy as jnp
 
-    if family not in ("fov", "safa"):
+    if family not in ("fov", "safa", "baseline"):
         raise ValueError(f"unsupported sweep family {family!r}")
-    vector = family == "safa"
+    vector = family in ("safa", "baseline")
+    baseline = family == "baseline"
     if cfg is None:
-        if vector:
+        if baseline:
+            from witw_tpu.configs import baseline_experiment
+
+            cfg = baseline_experiment(dataset="witw")
+        elif vector:
             from witw_tpu.configs import safa_experiment
 
             cfg = safa_experiment(dataset="witw", fov=fov)
@@ -193,14 +206,28 @@ def sweep(
             cached_index = None  # stale: grid, precision, family, or weights
 
     # --- query photo(s): one embed batch, one sweep for all of them ---
+    # Baseline geometry is dataset-specific (witw photos 500x500, raw 750^2
+    # tiles — cli/common.host_geometry; reference cvig_baseline.py:216-221);
+    # the other families use the FOV surface crop + overhead_size tiles.
+    if baseline:
+        from witw_tpu.cli.common import host_geometry
+
+        surface_hw, (tile_size, _) = host_geometry(cfg)
+    else:
+        surface_hw = (d.surface_height, d.surface_width)
+        tile_size = d.overhead_size
     photo_paths = (
         [photo_path] if isinstance(photo_path, (str, os.PathLike))
         else list(photo_path)
     )
     photo = np.stack([
-        resize_host(decode_image(p), d.surface_height, d.surface_width)
+        resize_host(decode_image(p), *surface_hw)
         for p in photo_paths
     ])
+    if baseline and pipeline.repeat_surface_rows:
+        from witw_tpu.ops.image import repeat_rows as _repeat_rows_host
+
+        photo = np.asarray(_repeat_rows_host(photo, 2))
 
     # --- embed ---
     # int8: surface tower calibrates on the query photo (always needed);
@@ -208,30 +235,58 @@ def sweep(
     # before the embed loop (first-batch-only calibration silently clipped
     # hotter later tiles) — on an index-cache hit no tile is ever read or
     # embedded, so no overhead calibration work happens either.
+    batch_stats = getattr(state, "batch_stats", {})
     sq_surface = None
     sq_overhead_box = [None]
     if int8:
         from witw_tpu.ops.image import normalize_images
         from witw_tpu.models.quantize import (
+            quantize_baseline_tower_static,
             quantize_safa_tower_static,
             quantize_tower_static,
         )
 
-        quantize_tower = (quantize_safa_tower_static if vector
-                          else quantize_tower_static)
-        photo_c = normalize_images(jnp.asarray(photo), d.img_mean, d.img_std)
-        sq_surface = quantize_tower(
-            state.params["surface"], [np.asarray(photo_c)], False
-        )
+        if baseline:
+            # raw-pixel calibration (the encoder owns its [-1,1] scaling);
+            # the folder needs batch_stats for the eval-mode BN affines
+            sq_surface = quantize_baseline_tower_static(
+                {"params": state.params["surface"],
+                 "batch_stats": batch_stats["surface"]},
+                [photo],
+            )
+            quantize_tower = (
+                lambda _p, batches, _c: quantize_baseline_tower_static(
+                    {"params": state.params["overhead"],
+                     "batch_stats": batch_stats["overhead"]},
+                    batches,
+                )
+            )
+        else:
+            quantize_tower = (quantize_safa_tower_static if vector
+                              else quantize_tower_static)
+            photo_c = normalize_images(
+                jnp.asarray(photo), d.img_mean, d.img_std)
+            sq_surface = quantize_tower(
+                state.params["surface"], [np.asarray(photo_c)], False
+            )
 
     @jax.jit
     def embed_surface(params, x):
         from witw_tpu.ops.image import normalize_images
         from witw_tpu.models.quantize import (
+            quantized_baseline_forward_static,
             quantized_fov_forward_static,
             quantized_safa_forward_static,
         )
 
+        if baseline:
+            if sq_surface is not None:
+                return quantized_baseline_forward_static(sq_surface, x)
+            return pipeline.surface_model.apply(
+                {"params": params["surface"],
+                 "batch_stats": batch_stats["surface"]},
+                x, train=False,
+            )
         x = normalize_images(x, d.img_mean, d.img_std)
         if sq_surface is not None:
             if vector:
@@ -243,17 +298,32 @@ def sweep(
         from witw_tpu.ops.image import normalize_images
         from witw_tpu.ops.polar import polar_transform
 
+        if baseline:
+            # raw 750^2 tiles straight into the encoder (no polar transform,
+            # no ImageNet normalization — reference cvig_baseline.py)
+            return x.astype(jnp.float32)
         x = normalize_images(x.astype(jnp.float32), d.img_mean, d.img_std)
         return polar_transform(x, d.surface_height, d.surface_width_max)
 
     @jax.jit
     def embed_overhead(params, x):
         from witw_tpu.models.quantize import (
+            quantized_baseline_forward_static,
             quantized_fov_forward_static,
             quantized_safa_forward_static,
         )
 
         polar = _preprocess_overhead(x)
+        if baseline:
+            if int8:
+                return quantized_baseline_forward_static(
+                    sq_overhead_box[0], polar
+                )
+            return pipeline.overhead_model.apply(
+                {"params": params["overhead"],
+                 "batch_stats": batch_stats["overhead"]},
+                polar, train=False,
+            )
         if int8:
             if vector:
                 return quantized_safa_forward_static(
@@ -277,7 +347,7 @@ def sweep(
         def read_tile(window):
             ulx, uly, lrx, lry = window
             tile = sat.read_world_window(ulx, uly, lrx, lry).astype(np.float32)
-            tile = resample(tile[..., :3], d.overhead_size, d.overhead_size)
+            tile = resample(tile[..., :3], tile_size, tile_size)
             if tiles_u8:
                 tile = np.clip(np.rint(tile), 0.0, 255.0).astype(np.uint8)
             return tile
@@ -302,7 +372,7 @@ def sweep(
             for start in range(0, n, batch_size):
                 stop = min(start + batch_size, n)
                 buf = np.zeros(
-                    (batch_size, d.overhead_size, d.overhead_size, 3),
+                    (batch_size, tile_size, tile_size, 3),
                     np.uint8 if tiles_u8 else np.float32,
                 )
                 for j, window in enumerate(windows[start:stop]):
@@ -322,14 +392,17 @@ def sweep(
                 # up here instead of silently saturating
                 from witw_tpu.models.quantize import (
                     check_saturation,
+                    static_int8_saturation_baseline,
                     static_int8_saturation_safa,
                 )
 
                 sat_frac = check_saturation(
                     sq_overhead_box[0], _preprocess_overhead(jnp.asarray(buf)),
                     True, context="tile",
-                    saturation_fn=(static_int8_saturation_safa if vector
-                                   else None),
+                    saturation_fn=(
+                        static_int8_saturation_baseline if baseline
+                        else static_int8_saturation_safa if vector
+                        else None),
                 )
             o_parts.append(
                 np.asarray(embed_overhead(state.params, jnp.asarray(buf)))[:real]
@@ -374,7 +447,14 @@ def sweep(
                 orientations[:, q] * 360.0 / out_width - 180.0
             )
         cols["dissimilarity"] = distances[:, q]
-        cols["score"] = np.exp(10.0 * (1.0 - distances[:, q]))
+        # The reference score transform (heatmap.py:183) assumes distances in
+        # [0, 2] (chord / unit-vector Euclidean); the baseline family's
+        # f/||f||^0.5 embeddings give UNBOUNDED distances, so it gets the
+        # monotone exp(-d) instead (same convention as tools/serve._format).
+        cols["score"] = (
+            np.exp(-distances[:, q]) if baseline
+            else np.exp(10.0 * (1.0 - distances[:, q]))
+        )
         frame = pd.DataFrame(cols)
         if len(photo_paths) > 1:
             frame.insert(0, "photo", path)
@@ -424,11 +504,14 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="embed with the static-int8 towers (faster serving; "
                              "rank agreement with f32 test-gated)")
-    parser.add_argument("--family", choices=("fov", "safa"), default="fov",
+    parser.add_argument("--family", choices=("fov", "safa", "baseline"),
+                        default="fov",
                         help="tower family: fov = orientation-aligned FFT "
                              "sweep (default, the reference tool's model); "
                              "safa = VGG16+SAFA unit vectors, Euclidean "
-                             "scores, no orientation column")
+                             "scores, no orientation column; baseline = "
+                             "7-conv GeM towers on raw 750^2 tiles "
+                             "(Euclidean, score = exp(-d), --fov ignored)")
     parser.add_argument("--fast-eval", action="store_true",
                         help="bf16 frequency product in the tile scoring sweep "
                              "(opt-in approximation; exact is the default)")

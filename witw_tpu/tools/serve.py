@@ -113,14 +113,18 @@ class GeolocateService:
     aligned FFT chord distance); ``"safa"`` embeds with the VGG16+SAFA
     surface tower and searches a VectorIndex (plain Euclidean on the unit
     embeddings — no orientation axis, so results carry
-    ``orientation_deg: null``). SAFA exact search is one GEMM per gallery
-    chunk, so ``candidates`` requests are served exactly (the two-stage
-    approximate path exists to dodge the FOV sweep's cost, which this family
-    doesn't pay). The baseline family's towers share the same contract but
-    measured int8 at only 1.03x f32 (BASELINE.md per-family row) at an
-    eval-scale 448x1232/750^2 geometry — serve those galleries through this
-    class with family="safa"-style wiring only if a deployment needs it;
-    the supported serving families are fov and safa."""
+    ``orientation_deg: null``). Vector-family exact search is one GEMM per
+    gallery chunk, so ``candidates`` requests are served exactly (the
+    two-stage approximate path exists to dodge the FOV sweep's cost, which
+    those families don't pay). ``"baseline"`` serves the 7-conv GeM towers
+    (reference cvig_baseline.py) through the same VectorIndex contract: raw
+    pixels (no ImageNet normalization — the encoder scales to [-1,1]
+    internally), dataset-specific photo geometry (cli/common.host_geometry),
+    and f/||f||^0.5 embeddings whose Euclidean distances are UNBOUNDED — so
+    its ``score`` is exp(-distance) rather than the [0,2]-calibrated
+    exp(10*(1-d)) (see _format). Baseline int8 measured only 1.03x f32
+    (BASELINE.md per-family row), so --int8 with this family trades almost
+    no latency for 4x memory; it remains available."""
 
     def __init__(self, index, cfg, state, int8: bool = False,
                  fast: bool = False, max_batch: int = 0,
@@ -133,10 +137,11 @@ class GeolocateService:
         from witw_tpu.ops.image import normalize_images
         from witw_tpu.train.pipeline import make_pipeline
 
-        if family not in ("fov", "safa"):
+        if family not in ("fov", "safa", "baseline"):
             raise ValueError(f"unsupported serving family {family!r}")
         self.family = family
-        self._vector = family == "safa"
+        self._vector = family in ("safa", "baseline")
+        self._baseline = family == "baseline"
         # the index type must match the family: scoring FOV feature maps as
         # flat vectors (or vice versa) would not fail loudly on its own
         if self._vector != (index.embeds.ndim == 2):
@@ -182,16 +187,45 @@ class GeolocateService:
         self._sq = None  # calibrated lazily on the FIRST real query image so
         self._sq_lock = threading.Lock()  # scales match actual traffic, not a probe
 
+        # Baseline photo geometry is dataset-specific (witw 500x500 / cvusa
+        # 224x1232 with on-device row repeat — cli/common.host_geometry;
+        # reference cvig_baseline.py:216-221); the other families decode to
+        # the FOV surface crop geometry.
+        if self._baseline:
+            from witw_tpu.cli.common import host_geometry
+
+            self._surface_hw = host_geometry(cfg)[0]
+        else:
+            self._surface_hw = (d.surface_height, d.surface_width)
+        batch_stats = getattr(state, "batch_stats", {})
+
         def embed_f32(params, x):
+            if self._baseline:
+                from witw_tpu.ops.image import repeat_rows
+
+                if pipeline.repeat_surface_rows:
+                    x = repeat_rows(x, 2)
+                return pipeline.surface_model.apply(
+                    {"params": params["surface"],
+                     "batch_stats": batch_stats["surface"]},
+                    x, train=False,
+                )
             x = normalize_images(x, d.img_mean, d.img_std)
             return pipeline.surface_model.apply({"params": params["surface"]}, x)
 
         def embed_int8(params, x):
             from witw_tpu.models.quantize import (
+                quantized_baseline_forward_static,
                 quantized_fov_forward_static,
                 quantized_safa_forward_static,
             )
 
+            if self._baseline:
+                from witw_tpu.ops.image import repeat_rows
+
+                if pipeline.repeat_surface_rows:
+                    x = repeat_rows(x, 2)
+                return quantized_baseline_forward_static(self._sq, x)
             x = normalize_images(x, d.img_mean, d.img_std)
             if self._vector:
                 sq, head = self._sq
@@ -202,6 +236,7 @@ class GeolocateService:
         self._embed_int8 = jax.jit(embed_int8)
         self._normalize = lambda x: normalize_images(x, d.img_mean, d.img_std)
         self._params = state.params
+        self._batch_stats = batch_stats
 
         self.max_batch = int(max_batch)
         # upper bound on any request's approximate-search rerank pool: the
@@ -243,15 +278,26 @@ class GeolocateService:
                 import numpy as np
 
                 from witw_tpu.models.quantize import (
+                    quantize_baseline_tower_static,
                     quantize_safa_tower_static,
                     quantize_tower_static,
                 )
 
-                quantize = (quantize_safa_tower_static if self._vector
-                            else quantize_tower_static)
-                self._sq = quantize(
-                    params["surface"], [np.asarray(self._normalize(x))], False
-                )
+                if self._baseline:
+                    # raw-pixel calibration (the encoder owns its scaling);
+                    # folds eval-mode BN affines, so it needs batch_stats
+                    self._sq = quantize_baseline_tower_static(
+                        {"params": params["surface"],
+                         "batch_stats": self._batch_stats["surface"]},
+                        [np.asarray(x)],
+                    )
+                else:
+                    quantize = (quantize_safa_tower_static if self._vector
+                                else quantize_tower_static)
+                    self._sq = quantize(
+                        params["surface"], [np.asarray(self._normalize(x))],
+                        False,
+                    )
         return self._embed_int8(params, x)
 
     def _decode(self, image_bytes: bytes):
@@ -260,10 +306,9 @@ class GeolocateService:
 
         from witw_tpu.data.loader import resize_host
 
-        d = self.cfg.data
         img = np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"),
                          np.float32)
-        return resize_host(img, d.surface_height, d.surface_width)
+        return resize_host(img, *self._surface_hw)
 
     def geolocate(self, image_bytes: bytes, k: int = 5, candidates: int = 0):
         # Decode/resize on the request thread even when batching — host image
@@ -351,7 +396,7 @@ class GeolocateService:
         import numpy as np
 
         d = self.cfg.data
-        img = np.zeros((d.surface_height, d.surface_width, 3), np.float32)
+        img = np.zeros(self._surface_hw + (3,), np.float32)
         top = max(1, self.max_batch)
         top = 1 << (top - 1).bit_length()  # groups pad up to this bucket
         buckets, b = [], 1
@@ -512,14 +557,20 @@ class GeolocateService:
     def _format(self, idx_row, dist_row, orient_row, k: int):
         import numpy as np
 
-        # vector families have no orientation axis; their unit-vector
+        # vector families have no orientation axis. SAFA's unit-vector
         # Euclidean distance lives in the same [0, 2] range as the FOV chord
-        # distance, so the score transform carries over
+        # distance, so the exp(10*(1-d)) score transform carries over; the
+        # baseline family's f/||f||^0.5 embeddings are NOT unit vectors
+        # (reference cvig_baseline.py:278) and its distances are unbounded,
+        # so it reports the monotone exp(-d) instead — comparable within one
+        # gallery, not across families.
         w = self.index.embeds.shape[2] if orient_row is not None else None
         xs = self.index.meta.get("x")
         ys = self.index.meta.get("y")
         results = []
         for j, (i, dd) in enumerate(zip(idx_row[:k], dist_row[:k])):
+            score = (np.exp(-dd) if self._baseline
+                     else np.exp(10.0 * (1.0 - dd)))
             results.append(
                 {
                     "x": float(xs[i]) if xs is not None else None,
@@ -530,7 +581,7 @@ class GeolocateService:
                         float(orient_row[j] * 360.0 / w - 180.0)
                         if orient_row is not None else None
                     ),
-                    "score": float(np.exp(10.0 * (1.0 - dd))),
+                    "score": float(score),
                 }
             )
         return results
@@ -642,10 +693,13 @@ def main(argv=None):
     parser.add_argument("--tag", default=None)
     parser.add_argument("--dataset", default="witw")
     parser.add_argument("--fov", type=int, default=70)
-    parser.add_argument("--family", choices=("fov", "safa"), default="fov",
+    parser.add_argument("--family", choices=("fov", "safa", "baseline"),
+                        default="fov",
                         help="tower/index family: fov = FOV-DSM towers + "
                              "orientation-aligned FFT index (default); safa "
-                             "= VGG16+SAFA towers + Euclidean vector index")
+                             "= VGG16+SAFA towers + Euclidean vector index; "
+                             "baseline = 7-conv GeM towers + Euclidean "
+                             "vector index (--fov ignored; score = exp(-d))")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--int8", action="store_true")
@@ -683,8 +737,13 @@ def main(argv=None):
 
     import os
 
-    make_cfg = fov_experiment if args.family == "fov" else safa_experiment
-    cfg = make_cfg(dataset=args.dataset, fov=args.fov)
+    if args.family == "baseline":
+        from witw_tpu.configs import baseline_experiment
+
+        cfg = baseline_experiment(dataset=args.dataset)
+    else:
+        make_cfg = fov_experiment if args.family == "fov" else safa_experiment
+        cfg = make_cfg(dataset=args.dataset, fov=args.fov)
     pipeline = make_pipeline(cfg)
     ckpt = Checkpointer(
         os.path.join(args.weights,
