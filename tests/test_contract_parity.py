@@ -44,6 +44,7 @@ from witw_tpu.train.metrics import MetricWriter
 from witw_tpu.train.pipeline import make_pipeline
 
 torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
 
 from tests.test_golden_e2e import torch_match_oracle  # noqa: E402
 from tests.test_train_parity import (  # noqa: E402
@@ -217,6 +218,282 @@ def test_train_test_contract_matches_torch(rng, tmp_path):
     want_metrics = metrics_from_ranks(want_ranks)
 
     # test() restored the best checkpoint and computed the same metric dict
+    assert results.keys() == want_metrics.keys()
+    for key in want_metrics:
+        np.testing.assert_allclose(
+            results[key], want_metrics[key], rtol=1e-6, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# Baseline family (reference model/cvig_baseline.py:318-475): its driver
+# contract differs from FOV's in every phase — synced rotation applied at
+# train AND eval/test time (:324-328,410-414), no ImageNet normalization (the
+# encoder scales to [-1,1] internally, :265-266), LeakyReLU->BatchNorm with
+# train/eval phase switching driven by encoder.train()/eval() (:360-367),
+# exhaustive-minibatch hard-margin triplet loss (:286-315,345), torch-default
+# Adam lr=1e-3 (:349), best-val keying (:396-402), and a euclidean metric
+# suite (:453-466).
+# ---------------------------------------------------------------------------
+
+S_B = 384  # smallest square the 7 k=4 s=2 VALID convs accept is 382
+# Batch 4, not the reference's 16 (CPU cost) and lr 3e-4, not the reference
+# torch-Adam default 1e-3 (cvig_baseline.py:349): the contract under test
+# (phase structure, seeded eval rotation, BN mode switching, best-val keying,
+# metric suite) is batch/lr-independent, and both choices bound the
+# cross-framework f32 divergence the comparison must see through — conv7's
+# 1x1 maps give batch variance ~1e-4-class, so train-mode BN amplifies f32
+# noise by rsqrt(var+1e-5) ~ 45x there (measured, tests/debug notes), and
+# every Adam step moves near-zero-gradient params by +-lr in a direction
+# that cross-framework roundoff can flip (same effect the FOV parity test
+# documents in _assert_delta_close).
+BATCH_B = 4
+LR_B = 1e-4
+
+
+def _cfg_baseline(tmp_path):
+    from witw_tpu.configs import BaselineModelConfig, MatchConfig
+
+    ds = DatasetConfig(name="witw", train_csv="", test_csv="", panorama=False)
+    return ExperimentConfig(
+        data=DataConfig(
+            dataset=ds, surface_height=S_B, surface_width_max=S_B,
+            overhead_size=S_B, fov=360,
+        ),
+        # conv_precision="highest": defensive — XLA:CPU's f32 conv lowering
+        # is reduced-precision in some contexts (8e-4-class standalone,
+        # ~3e-5 fused in this tower's graph; measured vs an f64 oracle) and
+        # train-mode BN amplifies conv error by rsqrt(var_batch+eps)/layer.
+        model=BaselineModelConfig(compute_dtype="float32",
+                                  conv_precision="highest"),
+        match=MatchConfig(soft_margin=False, margin=1.0),
+        train=TrainConfig(
+            batch_size=BATCH_B, num_epochs=N_EPOCHS,
+            optim=OptimConfig(learning_rate=LR_B),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ),
+        eval=EvalConfig(query_block=8, gallery_chunk=8),
+    )
+
+
+def _make_batches_baseline(rng, n_batches):
+    out = []
+    for _ in range(n_batches):
+        out.append({
+            "surface": rng.integers(
+                0, 256, (BATCH_B, S_B, S_B, 3)).astype(np.float32),
+            "overhead": rng.integers(
+                0, 256, (BATCH_B, S_B, S_B, 3)).astype(np.float32),
+        })
+    return out
+
+
+def _torch_baseline_state(params_np, stats_np):
+    """flax baseline-tower variables -> torch tensors: conv w/b (OIHW) + BN
+    scale/bias all trainable, BN running buffers as plain tensors mutated
+    in-place by F.batch_norm(training=True) — torch nn.BatchNorm2d semantics,
+    which witw_tpu.models.baseline.TorchBatchNorm reproduces."""
+    tp, trainable = {}, []
+    for i in range(1, 8):
+        kv = params_np[f"conv{i}"]
+        w = torch.tensor(np.transpose(
+            np.asarray(kv["kernel"], np.float32), (3, 2, 0, 1)))
+        b = torch.tensor(np.asarray(kv["bias"], np.float32))
+        bn = params_np[f"bn{i}"]
+        g = torch.tensor(np.asarray(bn["scale"], np.float32))
+        beta = torch.tensor(np.asarray(bn["bias"], np.float32))
+        for t in (w, b, g, beta):
+            t.requires_grad_(True)
+        st = stats_np[f"bn{i}"]
+        tp[i] = {
+            "w": w, "b": b, "g": g, "beta": beta,
+            "rm": torch.tensor(np.asarray(st["mean"], np.float32)),
+            "rv": torch.tensor(np.asarray(st["var"], np.float32)),
+        }
+        trainable += [w, b, g, beta]
+    return tp, trainable
+
+
+def _torch_baseline_tower(tp, x, train, p=3.0):
+    """Grad-enabled transcription of the reference encoder forward
+    (cvig_baseline.py:264-279): [-1,1] scaling, 7 strided convs with
+    LeakyReLU-then-BN, GeM(p) pooling of conv5/6/7, f/||f||^0.5."""
+    x = x / 255.0
+    x = -1.0 + 2.0 * x
+    feats = []
+    for i in range(1, 8):
+        e = tp[i]
+        x = F.conv2d(x, e["w"], e["b"], stride=2)
+        x = F.leaky_relu(x, 0.2)
+        x = F.batch_norm(x, e["rm"], e["rv"], e["g"], e["beta"],
+                         training=train, momentum=0.1, eps=1e-5)
+        if i >= 5:
+            feats.append(torch.pow(
+                torch.mean(torch.pow(F.relu(x), p), dim=(2, 3)), 1.0 / p))
+    f = torch.cat(feats, dim=1)
+    return f / torch.unsqueeze(
+        torch.pow(torch.linalg.norm(f, dim=1), 0.5), 1)
+
+
+def _torch_exhaustive_loss(e1, e2, margin=1.0):
+    """Roll-loop exhaustive minibatch hard-margin triplet loss
+    (cvig_baseline.py:286-315, soft_margin=False default)."""
+    loss = torch.tensor(0.0)
+    b = e1.shape[0]
+    for (a, p_) in [(e1, e2), (e2, e1)]:
+        for shift in range(1, b):
+            n_ = torch.roll(p_, shift, dims=0)
+            ap = torch.sum((p_ - a) ** 2, dim=1)
+            an = torch.sum((n_ - a) ** 2, dim=1)
+            loss = loss + torch.sum(F.relu(ap - an + margin))
+    return loss / (2 * b * (b - 1))
+
+
+@pytest.mark.slow
+def test_baseline_train_test_contract_matches_torch(rng, tmp_path):
+    import jax.numpy as jnp
+
+    # XLA:CPU lowers f32 convs through a reduced-precision (bf16-class)
+    # path on this host: measured 8e-4 abs error vs an f64 oracle where
+    # torch's conv is at 9e-8. The baseline tower's train-mode BatchNorm
+    # then amplifies that by 1/sigma_batch per layer (the conv7 1x1 maps at
+    # batch 2 have batch variance ~1e-9), so the cross-framework contract
+    # comparison needs full-precision convs on the JAX side. TPU runs are
+    # unaffected (this is a CPU-lowering quirk; the towers' compute_dtype
+    # governs on-device precision).
+    with jax.default_matmul_precision("highest"):
+        _run_baseline_contract(rng, tmp_path)
+
+
+def _run_baseline_contract(rng, tmp_path):
+    import jax.numpy as jnp
+
+    cfg = _cfg_baseline(tmp_path)
+    pipeline = make_pipeline(cfg)
+
+    train_batches = _make_batches_baseline(rng, 2)
+    val_batches = _make_batches_baseline(rng, 1)
+    test_batches = _make_batches_baseline(rng, 2)
+
+    # Identical init on both sides (train/loop.py:190-192 rng derivation).
+    base = jax.random.PRNGKey(cfg.train.seed)
+    loop_rng, init_rng = jax.random.split(base)
+    state0 = pipeline.init(init_rng)
+    params0 = jax.tree.map(np.asarray, state0.params)
+    stats0 = jax.tree.map(np.asarray, state0.batch_stats)
+
+    # --- witw_tpu: the real drivers ---
+    writer = MetricWriter(str(tmp_path / "logs"))
+    ckpt = Checkpointer(cfg.train.checkpoint_dir, keep=2)
+    run_train(cfg, pipeline, train_batches, val_batches,
+              checkpointer=ckpt, writer=writer, verbose=False)
+    writer.close()
+    jax_train, jax_val = _epoch_losses_from_jsonl(str(tmp_path / "logs"))
+    best_meta = ckpt.meta("best")
+    results = run_test(cfg, pipeline, test_batches, checkpointer=ckpt,
+                       verbose=False)
+
+    # --- torch transcription of the same contract ---
+    # The synced rotation is part of the shared (separately oracle-pinned,
+    # parameter-free) preprocessing; both towers consume identical inputs by
+    # replaying the loop's exact rng stream through pipeline._preprocess.
+    def preprocessed(batch, step_rng, train):
+        s, o = pipeline._preprocess(
+            {k: jnp.asarray(v) for k, v in batch.items()}, step_rng, train)
+        return (
+            torch.tensor(np.transpose(np.asarray(s), (0, 3, 1, 2))),
+            torch.tensor(np.transpose(np.asarray(o), (0, 3, 1, 2))),
+        )
+
+    tp_s, train_s = _torch_baseline_state(params0["surface"],
+                                          stats0["surface"])
+    tp_o, train_o = _torch_baseline_state(params0["overhead"],
+                                          stats0["overhead"])
+    opt = torch.optim.Adam(train_s + train_o, lr=LR_B, betas=(0.9, 0.999),
+                           eps=1e-8)
+
+    def phase_loss(batches, phase_rng, train):
+        tot, cnt = 0.0, 0
+        for batch in batches:
+            phase_rng, step_rng = jax.random.split(phase_rng)
+            s_t, o_t = preprocessed(batch, step_rng, train)
+            ctx = torch.enable_grad() if train else torch.no_grad()
+            with ctx:
+                s_emb = _torch_baseline_tower(tp_s, s_t, train)
+                o_emb = _torch_baseline_tower(tp_o, o_t, train)
+                loss = _torch_exhaustive_loss(s_emb, o_emb,
+                                              margin=cfg.match.margin)
+                if train:
+                    opt.zero_grad()
+                    loss.backward()
+                    opt.step()
+            tot += float(loss) * s_t.shape[0]
+            cnt += s_t.shape[0]
+        return tot / cnt
+
+    def snapshot():
+        return {
+            t: {i: {k: v.detach().clone() for k, v in e.items()}
+                for i, e in tp.items()}
+            for t, tp in (("surface", tp_s), ("overhead", tp_o))
+        }
+
+    torch_train, torch_val = [], []
+    best_loss, best, best_epoch = None, None, None
+    for epoch in range(N_EPOCHS):
+        # exact loop rng derivation: train/loop.py:224-247
+        epoch_rng = jax.random.fold_in(loop_rng, epoch)
+        tr_rng, val_rng, _ = jax.random.split(epoch_rng, 3)
+        torch_train.append(phase_loss(train_batches, tr_rng, train=True))
+        v = phase_loss(val_batches, val_rng, train=False)
+        torch_val.append(v)
+        if best_loss is None or v < best_loss:  # cvig_baseline.py:396-402
+            best_loss, best, best_epoch = v, snapshot(), epoch
+
+    # Tolerance tiers, wider than the FOV contract test's 1e-3 for a
+    # MEASURED reason (see tests/debug notes, NOTES.md round 5): the
+    # baseline tower's train-mode BatchNorm divides by batch sigma per
+    # layer, and conv7's 1x1 maps at this batch size have batch variance
+    # ~5e-4 — an rsqrt(var+eps) gain of ~45x on cross-framework f32 noise
+    # EVERY train step (layers 1-6 agree at 3e-5; conv7 at 5e-3), which
+    # Adam then compounds; the hard-margin loss (reference default) is
+    # additionally non-smooth at its relu kinks. Val/test phases run
+    # eval-mode BN (running stats, variance ~1) and stay an order tighter.
+    # The DISCRETE contract signals — which epoch wins best-val, and the
+    # final metric suite from the restored best checkpoint — are asserted
+    # exactly below; a semantic bug in rotation seeding, BN mode switching,
+    # loss form, or checkpoint keying moves losses at the O(1) level, far
+    # outside these gates.
+    np.testing.assert_allclose(jax_train, torch_train, rtol=5e-2, atol=1e-5)
+    np.testing.assert_allclose(jax_val, torch_val, rtol=1e-2, atol=1e-5)
+    np.testing.assert_allclose(
+        best_meta["val_loss"], best_loss, rtol=1e-2, atol=1e-5)
+    # both frameworks selected the SAME best epoch (checkpoint meta records
+    # the global step at save time; len(train_batches) steps per epoch)
+    assert int(best_meta["step"]) == (best_epoch + 1) * len(train_batches), (
+        best_meta, best_epoch)
+
+    # --- torch test(): synced rotation at eval with the test() seed stream
+    # (train/loop.py:389-392), embeddings from the BEST weights + buffers ---
+    test_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    s_embs, o_embs = [], []
+    with torch.no_grad():
+        for batch in test_batches:
+            test_rng, step_rng = jax.random.split(test_rng)
+            s_t, o_t = preprocessed(batch, step_rng, train=False)
+            s_embs.append(_torch_baseline_tower(
+                best["surface"], s_t, train=False).numpy())
+            o_embs.append(_torch_baseline_tower(
+                best["overhead"], o_t, train=False).numpy())
+    s_emb = np.concatenate(s_embs)
+    o_emb = np.concatenate(o_embs)
+    # euclidean rank contract: ties count, true match included
+    # (cvig_baseline.py:456-460)
+    d = np.sqrt(np.sum(
+        (o_emb[:, None, :] - s_emb[None, :, :]) ** 2, axis=2))
+    n = d.shape[1]
+    want_ranks = np.array([np.sum(d[:, q] <= d[q, q]) for q in range(n)])
+    want_metrics = metrics_from_ranks(want_ranks)
+
     assert results.keys() == want_metrics.keys()
     for key in want_metrics:
         np.testing.assert_allclose(

@@ -87,6 +87,15 @@ class BaselineModelConfig:
     # Conv/BN init std (reference cvig_baseline.py:255-262).
     init_std: float = 0.02
     compute_dtype: str = "bfloat16"
+    # Conv precision override (None = backend default). "highest" pins
+    # exact-f32 convs on backends whose DEFAULT f32 lowering can be reduced
+    # precision: XLA:CPU measured 8e-4 abs error vs an f64 oracle on a
+    # standalone jitted conv (3e-8 under HIGHEST, ~1.16x runtime; the same
+    # conv fused into the full tower graph read ~3e-5 — the lowering is
+    # context-dependent, NOTES.md round 5). Matters for cross-framework
+    # parity because train-mode BatchNorm amplifies input error by
+    # rsqrt(var_batch + eps) per layer. On TPU compute_dtype governs.
+    conv_precision: "str | None" = None
 
 
 @dataclasses.dataclass(frozen=True)

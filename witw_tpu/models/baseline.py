@@ -122,6 +122,7 @@ class BaselineEncoder(nn.Module):
                 strides=(2, 2),
                 padding="VALID",
                 dtype=dtype,
+                precision=cfg.conv_precision,
                 kernel_init=_normal_init(cfg.init_std),
                 bias_init=_normal_init(cfg.init_std),
                 name=f"conv{i}",
