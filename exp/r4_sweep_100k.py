@@ -37,6 +37,10 @@ def main():
                          "(prefetch_tiles=0) for the cold-path A/B")
     ap.add_argument("--cold-only", action="store_true",
                     help="phase A only (for bounded A/B runs)")
+    ap.add_argument("--instrument", action="store_true",
+                    help="accumulate host-extraction time (windowed reads + "
+                         "resample) via wrappers, reported after phase A — "
+                         "attributes the cold path's serial/overlap split")
     args = ap.parse_args()
 
     import jax
@@ -96,11 +100,31 @@ def main():
         prefetch_tiles=0 if args.serial else 2,
     )
 
+    extract_s = [0.0]
+    if args.instrument:
+        from witw_tpu.tools import geotiff as gt_mod
+        from witw_tpu.tools import heatmap as hm_mod
+
+        def timed(fn):
+            def wrap(*a, **k):
+                t = time.perf_counter()
+                out = fn(*a, **k)
+                extract_s[0] += time.perf_counter() - t
+                return out
+            return wrap
+
+        gt_mod.GeoTiff.read_world_window = timed(
+            gt_mod.GeoTiff.read_world_window)
+        hm_mod.resample = timed(hm_mod.resample)
+
     print("phase A: cold sweep (extract + calibrate + embed + score + "
           "cache save)...", flush=True)
     t0 = time.time()
     frame = sweep(sat_path, photo_path, csv_path, bounds, **common)
     t_cold = time.time() - t0
+    if args.instrument:
+        print(f"  host extraction (reads+resample): {extract_s[0]:.1f}s "
+              f"of {t_cold:.1f}s", flush=True)
     assert len(frame) == n_tiles
     assert np.all(np.isfinite(frame["score"]))
     print(f"phase A cold: {t_cold:.1f}s "

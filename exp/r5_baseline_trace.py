@@ -83,6 +83,25 @@ def main():
         oe = quantized_baseline_forward_static(sq_o, over)
         return pairwise_sq_distances(oe, se)
 
+    # The SERVING path (tools/serve.py, tools/heatmap.py) embeds raw inputs —
+    # no synced rotation (that is reference train/eval augmentation,
+    # cvig_baseline.py:324-328,410-414). The r4 family bench measured the
+    # eval contract INCLUDING the rotation gather; serving pays only towers
+    # + distance.
+    def f32_serve(s, o):
+        se = pipe.surface_model.apply(
+            {"params": state.params["surface"],
+             "batch_stats": state.batch_stats["surface"]}, s, train=False)
+        oe = pipe.overhead_model.apply(
+            {"params": state.params["overhead"],
+             "batch_stats": state.batch_stats["overhead"]}, o, train=False)
+        return pairwise_sq_distances(oe, se)
+
+    def int8_serve(s, o):
+        se = quantized_baseline_forward_static(sq_s, s)
+        oe = quantized_baseline_forward_static(sq_o, o)
+        return pairwise_sq_distances(oe, se)
+
     def make_scan(step):
         def scan_fn(surf, over):
             def body(c, xs):
@@ -106,7 +125,8 @@ def main():
         return jnp.sum(surf[:, :1, :1, :1, 0] ** 2)
 
     results = {}
-    for label, step in (("f32", f32_step), ("int8", int8_step)):
+    for label, step in (("f32", f32_step), ("int8", int8_step),
+                        ("f32_serve", f32_serve), ("int8_serve", int8_serve)):
         for b in args.batches:
             s, o = inputs(b)
             fn = make_scan(step)
@@ -127,7 +147,8 @@ def main():
                   f"({best / SCAN_STEPS * 1e3:.1f} ms/step)", flush=True)
 
     # per-op trace at the chosen batch, both precisions
-    for label, step in (("f32", f32_step), ("int8", int8_step)):
+    for label, step in (("f32", f32_step), ("int8", int8_step),
+                        ("int8_serve", int8_serve)):
         b = args.trace_batch
         s, o = inputs(b)
         fn = make_scan(step)

@@ -68,39 +68,42 @@ def chord_scores(
     return 2.0 * (1.0 - cos), orient
 
 
-def _freq_product(fo: jax.Array, fs: jax.Array, sub: str, fast: bool) -> jax.Array:
+def _freq_product(fo: jax.Array, fs: jax.Array, sub: str, fast: bool):
     """The correlation's frequency-domain product ``einsum(sub, fo, conj(fs))``
-    for complex operands, contracted over (h, c) with f as a batch axis.
+    contracted over (h, c) with f as a batch axis. Returns the real and
+    imaginary parts as a ``(re, im)`` TUPLE.
 
-    ``fast`` computes it as TWO stacked-real bf16 einsums on the MXU with f32
-    accumulation instead of one HIGHEST-precision complex einsum:
-    Re = [Re fo; Im fo].[Re fs; Im fs], Im = [Im fo; -Re fo].[Re fs; Im fs]
-    (the conj folds into the signs). ~2x arithmetic rate at bf16-rounded
-    operands — an approximation: near-threshold ranks and near-tie argmax
-    orientations can flip (rank agreement on planted-structure data is
-    test-gated, like the int8 serving path)."""
-    if not fast:
-        return jnp.einsum(
-            sub, fo, jnp.conj(fs), precision=jax.lax.Precision.HIGHEST
-        )
+    Both paths use the stacked-real formulation — Re = [Re fo; Im fo].[Re fs;
+    Im fs], Im = [Im fo; -Re fo].[Re fs; Im fs] (the conj folds into the
+    signs) — rather than a complex einsum: a complex64 product forces
+    real/imag-extraction layout copies feeding the inverse-DFT matmuls
+    (two [1024, 128, 33] copies per sweep block in the r4 trace); computing
+    the parts directly dropped the 8832^2 eval sweep 0.275 -> 0.217 s warm
+    with rank agreement 1.0000 (exp/r5_eval_layout.py, VERDICT r4 #6).
+
+    Exact mode runs the doubled-contraction einsums in f32 at HIGHEST
+    precision — same arithmetic count as the complex product (which is four
+    real matmuls), differing only in f32 summation order. ``fast`` casts the
+    operands to bf16 with f32 accumulation (~2x MXU rate) — an
+    approximation: near-threshold ranks and near-tie argmax orientations can
+    flip (rank agreement on planted-structure data is test-gated, like the
+    int8 serving path)."""
     c_ax = fo.ndim - 1  # the trailing contraction axis (c)
     fo_re, fo_im = jnp.real(fo), jnp.imag(fo)
-    fs_cat = jnp.concatenate(
-        [jnp.real(fs), jnp.imag(fs)], axis=fs.ndim - 1
-    ).astype(jnp.bfloat16)
-    re = jnp.einsum(
-        sub,
-        jnp.concatenate([fo_re, fo_im], axis=c_ax).astype(jnp.bfloat16),
-        fs_cat,
-        preferred_element_type=jnp.float32,
-    )
-    im = jnp.einsum(
-        sub,
-        jnp.concatenate([fo_im, -fo_re], axis=c_ax).astype(jnp.bfloat16),
-        fs_cat,
-        preferred_element_type=jnp.float32,
-    )
-    return jax.lax.complex(re, im)
+    fs_cat = jnp.concatenate([jnp.real(fs), jnp.imag(fs)], axis=fs.ndim - 1)
+    fo_re_cat = jnp.concatenate([fo_re, fo_im], axis=c_ax)
+    fo_im_cat = jnp.concatenate([fo_im, -fo_re], axis=c_ax)
+    if fast:
+        fs_cat = fs_cat.astype(jnp.bfloat16)
+        re = jnp.einsum(sub, fo_re_cat.astype(jnp.bfloat16), fs_cat,
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum(sub, fo_im_cat.astype(jnp.bfloat16), fs_cat,
+                        preferred_element_type=jnp.float32)
+        return re, im
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.einsum(sub, fo_re_cat, fs_cat, precision=hp)
+    im = jnp.einsum(sub, fo_im_cat, fs_cat, precision=hp)
+    return re, im
 
 
 @functools.lru_cache(maxsize=8)
@@ -121,19 +124,22 @@ def _irdft_mats(w: int) -> Tuple[np.ndarray, np.ndarray]:
     return c.astype(np.float32), s.astype(np.float32)
 
 
-def _irfft_small(prod: jax.Array, w: int) -> jax.Array:
-    """Inverse rFFT along the last axis as two real matmuls against the
-    precomputed inverse-DFT matrices — numerically equivalent to
-    jnp.fft.irfft at f32 roundoff, and much faster than XLA's irfft custom
-    call at the matcher's tiny widths (w=64): the custom call forces layout
-    copies in/out on every sweep step (~300 of 500 ms of the 8832^2 eval
-    sweep's device time; exp/r4_eval_roofline trace), while the matmul form
-    fuses into the surrounding einsum pipeline."""
+def _irfft_small(prod, w: int) -> jax.Array:
+    """Inverse rFFT along the last axis of a ``(re, im)`` frequency product
+    as ONE real matmul against the [C; S]-stacked inverse-DFT matrices —
+    numerically equivalent to jnp.fft.irfft at f32 roundoff, and much faster
+    than XLA's irfft custom call at the matcher's tiny widths (w=64): the
+    custom call forces layout copies in/out on every sweep step (~300 of
+    500 ms of the 8832^2 eval sweep's device time; exp/r4_eval_roofline
+    trace), while the matmul form fuses into the einsum pipeline. Stacking
+    re/im into a single doubled-K matmul (rather than two matmuls + add)
+    rode in with the stacked-real product (exp/r5_eval_layout.py)."""
+    re, im = prod
     c, s = _irdft_mats(w)
-    hp = jax.lax.Precision.HIGHEST
-    return jnp.einsum(
-        "...f,fn->...n", jnp.real(prod), c, precision=hp
-    ) + jnp.einsum("...f,fn->...n", jnp.imag(prod), s, precision=hp)
+    cs = jnp.concatenate([c, s], axis=0)  # [2*wf, w]
+    stack = jnp.concatenate([re, im], axis=-1)  # [..., 2*wf]
+    return jnp.einsum("...f,fn->...n", stack, cs,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def gallery_vs_queries(

@@ -64,15 +64,36 @@ def rotate_nearest(img: jax.Array, degrees: jax.Array) -> jax.Array:
     used by the reference, cvig_baseline.py:142-143).
 
     img: [H, W, C] or [B, H, W, C]; degrees: scalar or [B].
+
+    The batched form gathers through ONE flat [B*H*W] global index into the
+    [B*H*W, C]-flattened batch instead of vmapping a per-sample 2-D advanced
+    index: identical values (same nearest indices), but measured 103.9 ->
+    69.5 ms/step at the baseline family's [16, 750, 750, 3] geometry on v5e
+    (exp/r5_rotation.py — this gather was 86% of that family's reference-
+    eval step; uint8/bf16 gathers are barely faster and NOT exact for the
+    non-integer resized pixels the pipeline feeds through here).
     """
     if img.ndim == 3:
         return _rotate_one(img, jnp.asarray(degrees, jnp.float32))
-    return jax.vmap(_rotate_one)(img, jnp.broadcast_to(
-        jnp.asarray(degrees, jnp.float32), (img.shape[0],)))
+    b, h, w, c = img.shape
+    degs = jnp.broadcast_to(jnp.asarray(degrees, jnp.float32), (b,))
+    valid, yi, xi = jax.vmap(
+        lambda d: _rotate_indices(h, w, d)
+    )(degs)  # [B, H, W] each
+    flat_idx = (yi * w + xi).reshape(b, h * w)
+    gidx = (flat_idx + (jnp.arange(b) * (h * w))[:, None]).reshape(-1)
+    out = img.reshape(b * h * w, c)[gidx]
+    out = jnp.where(valid.reshape(b * h * w)[:, None], out, 0)
+    return out.reshape(b, h, w, c).astype(img.dtype)
 
 
-def _rotate_one(img: jax.Array, degrees: jax.Array) -> jax.Array:
-    h, w, c = img.shape
+def _rotate_indices(h: int, w: int, degrees: jax.Array):
+    """(valid, yi, xi) nearest-neighbor source indices for one rotation.
+
+    Output pixel samples the input at the inverse rotation. For the
+    torchvision-visual COUNTER-clockwise rotation (y points down in image
+    coords), the forward map is R(-theta) in math convention, so the
+    inverse sampling map is R(+theta)."""
     theta = degrees * (math.pi / 180.0)
     cos_t = jnp.cos(theta)
     sin_t = jnp.sin(theta)
@@ -84,17 +105,17 @@ def _rotate_one(img: jax.Array, degrees: jax.Array) -> jax.Array:
     )
     dy = ii - cy
     dx = jj - cx
-    # Output pixel samples the input at the inverse rotation. For the
-    # torchvision-visual COUNTER-clockwise rotation (y points down in image
-    # coords), the forward map is R(-theta) in math convention, so the
-    # inverse sampling map is R(+theta).
     src_x = cos_t * dx - sin_t * dy + cx
     src_y = sin_t * dx + cos_t * dy + cy
     xi = jnp.round(src_x).astype(jnp.int32)
     yi = jnp.round(src_y).astype(jnp.int32)
     valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    xi = jnp.clip(xi, 0, w - 1)
-    yi = jnp.clip(yi, 0, h - 1)
+    return valid, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)
+
+
+def _rotate_one(img: jax.Array, degrees: jax.Array) -> jax.Array:
+    h, w, c = img.shape
+    valid, yi, xi = _rotate_indices(h, w, degrees)
     out = img[yi, xi]
     return jnp.where(valid[..., None], out, 0).astype(img.dtype)
 
