@@ -119,8 +119,11 @@ def main():
     from witw_tpu.train.loop import device_prefetch
     from witw_tpu.train.pipeline import make_pipeline
 
+    import dataclasses
+
     cfg = fov_experiment(dataset="cvusa", fov=360)
-    cfg = cfg.replace(train=cfg.train.replace(batch_size=args.batch_size))
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
     pipeline = make_pipeline(cfg)
     state = pipeline.init(jax.random.PRNGKey(0))
     np.asarray(jax.tree.leaves(state.params)[0])  # materialize
