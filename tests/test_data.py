@@ -368,3 +368,31 @@ def test_native_lib_refuses_stale_binary(monkeypatch):
         gt.native_lib()
     monkeypatch.setattr(gt, "_lib_is_stale", lambda: False)
     assert gt.native_lib() is not None  # fresh binary still loads
+
+
+def test_prefetch_iter_propagates_and_orders():
+    """The generic producer-thread prefetch (data/loader.prefetch_iter,
+    heatmap.sweep's extraction/embed overlap): preserves order, depth=0 is
+    the identity/serial path, and a producer exception propagates to the
+    consumer instead of deadlocking the queue."""
+    from witw_tpu.data.loader import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(20)), depth=2)) == list(range(20))
+    it = iter(range(5))
+    assert prefetch_iter(it, depth=0) is it  # serial passthrough
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer failed")
+
+    out = []
+    with pytest.raises(RuntimeError, match="producer failed"):
+        for x in prefetch_iter(boom(), depth=2):
+            out.append(x)
+    assert out == [1, 2]
+
+    # abandoning the consumer mid-stream must not deadlock the producer
+    gen = prefetch_iter(iter(range(1000)), depth=2)
+    assert next(gen) == 0
+    gen.close()
