@@ -13,6 +13,13 @@ Usage: PYTHONPATH=$PYTHONPATH:/root/repo python exp/r5_baseline_trace.py
        [--batches 8 16 32] [--trace-batch 16]
 """
 
+# MEASURED (2026-08-21, TPU v5e): eval-contract (with rotation) f32
+# 133.7-144.8 / int8 137.5-147.6 pairs/s pre-fix, f32 190.9-195.5 / int8
+# 200.7-216.8 after the flat-gather rotation; SERVING path (no rotation)
+# f32 1856-2253 / int8 2805-3720 pairs/s (one b32 run read 6122; +-40%
+# harness spread below ~20 ms steps). The f32 trace pinned the rotation
+# gather at ~86% of the eval-contract step. BASELINE.md rows updated.
+
 import argparse
 import os
 import shutil

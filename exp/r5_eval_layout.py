@@ -21,6 +21,10 @@ f32 summation order. Rank agreement is asserted on planted-structure data.
 Usage: python exp/r5_eval_layout.py [n] [--variant v0|v1|both]
 """
 
+# MEASURED (2026-08-21, TPU v5e, 8832^2): v0 complex 0.275 s warm,
+# v1 stacked-real 0.217 s, rank agreement 1.0000 — v1 adopted into
+# match/fft_matcher (_freq_product/_irfft_small).
+
 import argparse
 import os
 import sys

@@ -14,6 +14,12 @@ sweep wiring on device.
 Run: PYTHONPATH=$PYTHONPATH:/root/repo python exp/r5_family_more.py
 """
 
+# MEASURED (2026-08-21, TPU v5e): train baseline 137.3 pairs/s (116.6
+# ms/step, b16), train safa 839.2 (38.1 ms, b32); safa serve f32
+# 1113.8/1313.5/1751.6 and int8 1385.2/1742.5/2274.0 at b32/64/128
+# (batch 128 is the sweet spot); baseline --int8 sweep smoke ok on device
+# (16 tiles, saturation 0.0). BASELINE.md rows updated.
+
 import os
 import sys
 import tempfile

@@ -23,6 +23,12 @@ design, reference model/cvig_fov.py:385,402-403 (num_workers=16 decoding and
 polar-transforming per-sample on host).
 """
 
+# MEASURED (2026-08-21, 1-core tunnel host): decode+resize 90.8-99.7
+# pairs/s/core (thread pool; process pool 87.9-89.0) -> ~11-12 cores
+# saturate the 1096 pairs/s train step. From-disk training on ONE core is
+# ~55 pairs/s end-to-end (decode+upload+dispatch serialize; overlap needs
+# >=2 host cores). BASELINE.md input-pipeline row.
+
 import argparse
 import os
 import sys

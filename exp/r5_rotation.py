@@ -16,6 +16,12 @@ exact values).
 Run: PYTHONPATH=$PYTHONPATH:/root/repo python exp/r5_rotation.py
 """
 
+# MEASURED (2026-08-21, TPU v5e, [16,750,750,3]): v0 103.9 ms/step,
+# v1 95.6, v2 287.5 (channel-major LOSES), v3 70.8 (u8, not exact for
+# resized floats), v4 79.3 (bf16, same caveat), v5 69.5 — v5 adopted into
+# ops/rotation.rotate_nearest ("MISMATCH" flags are the harness's
+# sum-reduction order, not values; gathers move exact values).
+
 import sys
 import time
 

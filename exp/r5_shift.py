@@ -12,6 +12,10 @@ bit-exact (same source columns):
 Run: PYTHONPATH=$PYTHONPATH:/root/repo python exp/r5_shift.py
 """
 
+# MEASURED (2026-08-21, TPU v5e, [16,224,1232,3]): v0 0.08 ms/step ==
+# v1 == v2 — horizontal_shift is NOT in the slow-gather class; no change
+# adopted.
+
 import sys
 import time
 
