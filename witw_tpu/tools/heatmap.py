@@ -381,10 +381,21 @@ def sweep(
                 yield stop - start, buf
 
         # Host tile extraction (windowed TIFF read + Lanczos) runs in a
-        # producer thread overlapped with the blocking device embed fetch, so
-        # the cold sweep costs ~max(extract, upload+embed) instead of their
-        # sum (the serial loop alternated them in one thread — VERDICT r4
-        # weak #1). prefetch_tiles=0 restores the serial path for A/B tests.
+        # producer thread overlapped with the device embed, so the cold sweep
+        # costs ~max(extract, upload+embed) instead of their sum (the serial
+        # loop alternated them in one thread — VERDICT r4 weak #1).
+        # prefetch_tiles=0 restores the serial path for A/B tests.
+        #
+        # Embed dispatches are PIPELINED with bounded in-flight depth: jax
+        # dispatch is async, so holding a few un-fetched device results lets
+        # batch N+1's upload+embed overlap batch N's, instead of paying one
+        # full upload+embed+fetch round trip per batch (through a remote
+        # tunnel that latency is the dominant non-extraction term). The
+        # depth bound is the backpressure — without it a fast producer
+        # would queue every remaining batch's upload buffer in host RAM.
+        import collections
+
+        pending = collections.deque()  # (device embeddings, real row count)
         for real, buf in prefetch_iter(tile_batches(), depth=prefetch_tiles):
             if int8 and sat_frac is None:
                 # calibration-coverage guard: clip fraction on a real (non-
@@ -404,9 +415,15 @@ def sweep(
                         else static_int8_saturation_safa if vector
                         else None),
                 )
-            o_parts.append(
-                np.asarray(embed_overhead(state.params, jnp.asarray(buf)))[:real]
+            pending.append(
+                (embed_overhead(state.params, jnp.asarray(buf)), real)
             )
+            if len(pending) >= 3:
+                emb, r = pending.popleft()
+                o_parts.append(np.asarray(emb)[:r])
+        while pending:
+            emb, r = pending.popleft()
+            o_parts.append(np.asarray(emb)[:r])
         sat.close()
         o_emb = np.concatenate(o_parts)[:n]
         meta = {"x": centers_e, "y": centers_n,
