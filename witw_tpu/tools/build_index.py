@@ -173,15 +173,28 @@ def build_index(
             quantize_fn=quantize_fn,
         )
 
-    buf = np.zeros((batch_size, tile_size, tile_size, d.channels),
-                   np.float32)
+    # Decode batches in a producer thread and hold up to 3 un-fetched device
+    # results: consecutive batches' upload+embed+fetch legs overlap instead
+    # of paying one full round trip per batch (the same bounded-in-flight
+    # pipelining as tools/heatmap.sweep — measured 1.9x on that cold path).
+    import collections
+
+    from witw_tpu.data.loader import prefetch_iter
+
+    def tile_batches():
+        for start in range(0, n, batch_size):
+            stop = min(start + batch_size, n)
+            buf = np.zeros((batch_size, tile_size, tile_size, d.channels),
+                           np.float32)
+            for j in range(stop - start):
+                tile = calib_tiles.pop(start + j, None)
+                buf[j] = (read_tile(overhead_paths[start + j])
+                          if tile is None else tile)
+            yield stop - start, buf
+
     parts = []
-    for start in range(0, n, batch_size):
-        stop = min(start + batch_size, n)
-        for j in range(stop - start):
-            tile = calib_tiles.pop(start + j, None)
-            buf[j] = read_tile(overhead_paths[start + j]) if tile is None else tile
-        buf[stop - start:] = 0.0
+    pending = collections.deque()
+    for real, buf in prefetch_iter(tile_batches(), depth=2):
         if int8 and sat_frac is None:
             from witw_tpu.models.quantize import (
                 check_saturation,
@@ -197,11 +210,15 @@ def build_index(
                     else static_int8_saturation_safa if vector
                     else None),
             )
-        parts.append(
-            np.asarray(
-                embed(state.params, state.batch_stats, jnp.asarray(buf))
-            )[: stop - start]
+        pending.append(
+            (embed(state.params, state.batch_stats, jnp.asarray(buf)), real)
         )
+        if len(pending) >= 3:
+            emb, r = pending.popleft()
+            parts.append(np.asarray(emb)[:r])
+    while pending:
+        emb, r = pending.popleft()
+        parts.append(np.asarray(emb)[:r])
     embeds = np.concatenate(parts)[:n]
 
     meta = {
